@@ -130,12 +130,16 @@ def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion from (not necessarily unit) axis and angle."""
+    """Quaternion from (not necessarily unit) axis and angle.
+
+    A near-zero axis yields the identity quaternion (PyBullet-safe behaviour
+    for policy-emitted axis-angle actions, reference deepmimic.py:475).
+    """
     axis = jnp.asarray(axis, dtype=jnp.result_type(float))
     angle = jnp.asarray(angle, dtype=axis.dtype)
     n = jnp.linalg.norm(axis, axis=-1, keepdims=True)
     u = axis / jnp.maximum(n, _EPS)
-    half = angle[..., None] * 0.5
+    half = jnp.where(n[..., 0] > _EPS, angle, 0.0)[..., None] * 0.5
     return jnp.concatenate([u * jnp.sin(half), jnp.cos(half)], axis=-1)
 
 

@@ -1,0 +1,138 @@
+"""Simulation engine: one 600 Hz substep and the 20-substep control step.
+
+Replaces Bullet's ``stepSimulation`` loop (reference deepmimic.py:522-543).
+Everything — SPD control, forward dynamics, contact resolution, integration —
+is one pure function of (state, targets), `vmap`-able over environments and
+wrapped in `lax.scan` over substeps. The mass matrix and bias force are
+computed once per substep and shared between the SPD solve and forward
+dynamics (the reference computes them twice: utils.py:164-167 + Bullet's own
+internal pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ..control.spd import SPDGains, clamp_torques, spd_torques
+from ..math import quaternion as quat
+from . import contact as contact_mod
+from .contact import ContactParams, ContactSet
+from .dynamics import (
+    advance, apply_joint_torques, crba, fk, pack_velocity, rnea,
+)
+from .types import KinematicTree, REVOLUTE, SimState
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    dt: float = 1.0 / 600.0
+    frame_skip: int = 20
+    gravity: Tuple[float, float, float] = (0.0, -9.8, 0.0)
+    contact: ContactParams = dataclasses.field(default_factory=ContactParams)
+    control_mode: str = "spd"   # "spd" | "torque"
+
+
+class Engine:
+    """Binds a kinematic tree + config into jit-friendly step functions.
+
+    The instance is a host-side container of static data; its methods are
+    pure functions of traced state.
+    """
+
+    def __init__(self, tree: KinematicTree, config: EngineConfig, gains: Optional[SPDGains] = None):
+        self.tree = tree
+        self.config = config
+        self.gains = gains
+        self.contact_set: ContactSet = contact_mod.build_contact_set(tree)
+
+    # -- one 600 Hz physics substep -------------------------------------
+    def substep(
+        self,
+        state: SimState,
+        target_sph: jnp.ndarray,
+        target_rev: jnp.ndarray,
+        torque_motors: Optional[List[jnp.ndarray]] = None,
+    ) -> Tuple[SimState, jnp.ndarray]:
+        """Advance dt. Returns (state', link_contact_flags (nl,) bool)."""
+        tree, cfg = self.tree, self.config
+        dt = cfg.dt
+        gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+
+        fkr = fk(tree, state)
+        h = crba(tree, fkr)
+        c = rnea(tree, fkr, gravity=gravity)
+        v = pack_velocity(tree, state, fkr)
+
+        if cfg.control_mode == "spd":
+            motor_tau = spd_torques(
+                tree, self.gains, state, h, c, target_sph, target_rev, dt
+            )
+        else:
+            motor_tau = clamp_torques(tree, torque_motors)
+        tau = apply_joint_torques(tree, motor_tau)
+
+        h_cho = cho_factor(h + 1e-8 * jnp.eye(tree.ndof))
+        qdd = cho_solve(h_cho, tau - c)
+        v_star = v + dt * qdd
+
+        sol = contact_mod.solve(
+            tree, self.contact_set, cfg.contact, fkr, h_cho, v_star,
+            state.q_rev, dt,
+        )
+        v_new = v_star + sol.dv
+
+        state = advance(tree, state, fkr, v_new, dt)
+        state = self._clamp_limits(state)
+        return state, sol.link_contact
+
+    def _clamp_limits(self, state: SimState) -> SimState:
+        # safety clamp on revolute limits (impulse rows handle dynamics;
+        # this prevents slow positional drift past the stops)
+        tree = self.tree
+        if not tree.n_rev:
+            return state
+        lo = np.full(tree.n_rev, -np.inf)
+        hi = np.full(tree.n_rev, np.inf)
+        for m, b in enumerate(tree.motor_bodies):
+            if tree.joint_type[b] == REVOLUTE:
+                l, u = tree.motor_movement_limit[m]
+                if u > l:
+                    lo[int(tree.rev_index[b])] = l
+                    hi[int(tree.rev_index[b])] = u
+        q_rev = jnp.clip(state.q_rev, jnp.asarray(lo, dtype=jnp.float32),
+                         jnp.asarray(hi, dtype=jnp.float32))
+        return state.replace(q_rev=q_rev)
+
+    # -- one 30 Hz control step (frame_skip substeps) --------------------
+    def control_step(
+        self,
+        state: SimState,
+        target_sph: jnp.ndarray,
+        target_rev: jnp.ndarray,
+        torque_motors: Optional[List[jnp.ndarray]] = None,
+    ) -> Tuple[SimState, jnp.ndarray]:
+        """Scan frame_skip substeps.
+
+        Returns (state', link_contact (nl,)) where link_contact reflects the
+        *last* substep only — matching the reference, which queries Bullet's
+        contact points after the frame_skip loop (deepmimic.py:545-546), and
+        getContactPoints reports the most recent stepSimulation.
+        """
+
+        def body(carry, _):
+            st, _ = carry
+            st, lc = self.substep(st, target_sph, target_rev, torque_motors)
+            return (st, lc), None
+
+        nl = self.tree.link_pos.shape[0]
+        (state, contacts), _ = jax.lax.scan(
+            body, (state, jnp.zeros(nl, dtype=bool)), None,
+            length=self.config.frame_skip,
+        )
+        return state, contacts
