@@ -278,8 +278,8 @@ class DeepMimicEnv:
         )
 
         if self.has_termination:
-            bad = jnp.logical_and(last_contact,
-                                  ~jnp.asarray(self.contact_allowed))
+            allowed = np.concatenate([self.contact_allowed, [False]])  # base slot
+            bad = jnp.logical_and(last_contact, ~jnp.asarray(allowed))
             terminated = jnp.any(bad)
         else:
             terminated = jnp.zeros((), dtype=bool)
@@ -412,19 +412,19 @@ class DeepMimicEnv:
     def step_autoreset(self, states: EnvState, actions: jnp.ndarray, keys: jax.Array):
         """Batched step with in-jit auto-reset on done (SURVEY.md §7.5).
 
-        Returns (new_states, StepResult) where StepResult.obs/reward/done come
-        from the *pre-reset* transition (standard RL semantics) and new_states
-        are re-initialized where done.
+        Returns (new_states, new_obs, StepResult): StepResult.obs/reward/done
+        come from the *pre-reset* transition (standard RL semantics);
+        new_states/new_obs are re-initialized where done.
         """
         res = self.step_batch(states, actions)
-        reset_states, _ = self.reset_batch(keys)
-        new_states = jax.tree.map(
-            lambda r, n: jnp.where(
-                res.done.reshape((-1,) + (1,) * (n.ndim - 1)), r, n
-            ),
-            reset_states, res.state,
-        )
-        return new_states, res
+        reset_states, reset_obs = self.reset_batch(keys)
+
+        def pick(r, n):
+            return jnp.where(res.done.reshape((-1,) + (1,) * (n.ndim - 1)), r, n)
+
+        new_states = jax.tree.map(pick, reset_states, res.state)
+        new_obs = pick(reset_obs, res.obs)
+        return new_states, new_obs, res
 
 
 def make(env_name: str, **kwargs) -> DeepMimicEnv:

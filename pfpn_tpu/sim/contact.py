@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dynamics import FKResult
-from .types import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, KinematicTree, REVOLUTE, SPHERICAL
+from .types import FIXED_BASE, FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, KinematicTree, REVOLUTE, SPHERICAL
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,7 +108,7 @@ def build_contact_set(tree: KinematicTree) -> ContactSet:
     dof_lin = np.zeros(tree.ndof, dtype=bool)
     for i in range(tree.nb):
         d = int(tree.dof_offset[i])
-        if tree.joint_type[i] == 0:  # FREE
+        if tree.joint_type[i] == FREE:
             dof_body[d:d + 6] = i
             dof_axis[d:d + 3] = np.eye(3)
             dof_axis[d + 3:d + 6] = np.eye(3)
@@ -116,9 +116,10 @@ def build_contact_set(tree: KinematicTree) -> ContactSet:
         elif tree.joint_type[i] == SPHERICAL:
             dof_body[d:d + 3] = i
             dof_axis[d:d + 3] = np.eye(3)
-        else:
+        elif tree.joint_type[i] == REVOLUTE:
             dof_body[d] = i
             dof_axis[d] = tree.joint_axis[i]
+        # FIXED_BASE contributes no dofs
 
     # ancestor mask: dof d (on body m) moves point k (on body b) iff m is an
     # ancestor-or-self of b.
@@ -286,6 +287,8 @@ def solve(
     lam = jax.lax.fori_loop(0, params.iterations, body, jnp.zeros(n_rows))
     dv = w @ lam
 
+    # per-link contact flags; slot nl aggregates base-link (-1) geoms
     nl = tree.link_pos.shape[0]
-    link_contact = jnp.zeros(nl, dtype=bool).at[jnp.asarray(cs.link)].max(active)
+    link_idx = np.where(cs.link < 0, nl, cs.link)
+    link_contact = jnp.zeros(nl + 1, dtype=bool).at[jnp.asarray(link_idx)].max(active)
     return ContactSolution(dv=dv, penetrating=active, link_contact=link_contact)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..math import quaternion as quat
-from .types import FREE, KinematicTree, REVOLUTE, SPHERICAL, SimState
+from .types import FIXED_BASE, FREE, KinematicTree, REVOLUTE, SPHERICAL, SimState
 
 
 def f32_precision(fn):
@@ -106,6 +106,8 @@ def _joint_motion_subspace(tree: KinematicTree, i: int) -> np.ndarray:
     jt = tree.joint_type[i]
     if jt == FREE:
         return np.eye(6)
+    if jt == FIXED_BASE:
+        return np.zeros((6, 0))
     if jt == SPHERICAL:
         S = np.zeros((6, 3))
         S[:3, :3] = np.eye(3)
@@ -130,11 +132,14 @@ def fk(tree: KinematicTree, state: SimState) -> FKResult:
     p_w: List[jnp.ndarray] = [state.base_pos]
     R_w: List[jnp.ndarray] = [quat.quat_to_matrix(state.base_quat)]
 
-    # base spatial velocity in body coords
-    v0 = jnp.concatenate([
-        R_w[0].T @ state.base_ang,
-        R_w[0].T @ state.base_lin,
-    ])
+    # base spatial velocity in body coords (zero for a fixed base)
+    if tree.joint_type[0] == FIXED_BASE:
+        v0 = jnp.zeros(6)
+    else:
+        v0 = jnp.concatenate([
+            R_w[0].T @ state.base_ang,
+            R_w[0].T @ state.base_lin,
+        ])
     v: List[jnp.ndarray] = [v0]
     E_list: List[jnp.ndarray] = [jnp.eye(3)]
     r_list: List[jnp.ndarray] = [jnp.zeros(3)]
@@ -188,15 +193,19 @@ def crba(tree: KinematicTree, fkr: FKResult) -> jnp.ndarray:
         S_i = jnp.asarray(_joint_motion_subspace(tree, i), dtype=jnp.float32)
         di = int(tree.dof_offset[i])
         ni = int(tree.dof_count[i])
+        if ni == 0:
+            continue
         F = Ic[i] @ S_i
         H = H.at[di:di + ni, di:di + ni].set(S_i.T @ F)
         j = i
         while int(tree.parent[j]) >= 0:
             F = X[j].T @ F
             j = int(tree.parent[j])
+            nj = int(tree.dof_count[j])
+            if nj == 0:
+                continue
             S_j = jnp.asarray(_joint_motion_subspace(tree, j), dtype=jnp.float32)
             dj = int(tree.dof_offset[j])
-            nj = int(tree.dof_count[j])
             blk = S_j.T @ F
             H = H.at[dj:dj + nj, di:di + ni].set(blk)
             H = H.at[di:di + ni, dj:dj + nj].set(blk.T)
@@ -227,7 +236,7 @@ def rnea(
 
     # gravity trick: base acceleration = -g (spatial, in base coords)
     a0 = jnp.concatenate([jnp.zeros(3), fkr.body_rot[0].T @ (-gravity)])
-    if qdd is not None:
+    if qdd is not None and int(tree.dof_count[0]) == 6:
         d0 = int(tree.dof_offset[0])
         a0 = a0 + qdd[d0:d0 + 6]
     a[0] = a0
@@ -250,10 +259,11 @@ def rnea(
 
     tau = jnp.zeros(tree.ndof)
     for i in range(nb - 1, -1, -1):
-        S = jnp.asarray(_joint_motion_subspace(tree, i), dtype=jnp.float32)
         di = int(tree.dof_offset[i])
         ni = int(tree.dof_count[i])
-        tau = tau.at[di:di + ni].set(S.T @ f[i])
+        if ni:
+            S = jnp.asarray(_joint_motion_subspace(tree, i), dtype=jnp.float32)
+            tau = tau.at[di:di + ni].set(S.T @ f[i])
         p = int(tree.parent[i])
         if p >= 0:
             f[p] = f[p] + X[i].T @ f[i]
@@ -266,7 +276,7 @@ def rnea(
 
 def pack_velocity(tree: KinematicTree, state: SimState, fkr: FKResult) -> jnp.ndarray:
     """State velocities -> generalized velocity vector (ndof,)."""
-    parts = [fkr.v[0]]  # base body-frame spatial velocity
+    parts = [] if tree.joint_type[0] == FIXED_BASE else [fkr.v[0]]
     for i in range(1, tree.nb):
         parts.append(_joint_qdot(tree, state, i))
     return jnp.concatenate(parts)
@@ -299,15 +309,20 @@ def advance(
     *post-step* orientation. Converting with the pre-step rotation silently
     injects an O(dt·ω×v) momentum error per step.
     """
-    w_b = v_new[0:3]
-    l_b = v_new[3:6]
-    R0 = fkr.body_rot[0]
-
-    base_pos = state.base_pos + dt * (R0 @ l_b)
-    base_quat = quat.quat_integrate_local(state.base_quat, w_b, dt)
-    R0n = quat.quat_to_matrix(base_quat)
-    base_ang = R0n @ w_b
-    base_lin = R0n @ l_b
+    if tree.joint_type[0] == FIXED_BASE:
+        base_pos = state.base_pos
+        base_quat = state.base_quat
+        base_ang = jnp.zeros(3)
+        base_lin = jnp.zeros(3)
+    else:
+        w_b = v_new[0:3]
+        l_b = v_new[3:6]
+        R0 = fkr.body_rot[0]
+        base_pos = state.base_pos + dt * (R0 @ l_b)
+        base_quat = quat.quat_integrate_local(state.base_quat, w_b, dt)
+        R0n = quat.quat_to_matrix(base_quat)
+        base_ang = R0n @ w_b
+        base_lin = R0n @ l_b
 
     w_sph, w_rev = _unpack_joint_velocity(tree, state, v_new)
     q_sph = jax.vmap(quat.quat_integrate_local, in_axes=(0, 0, None))(

@@ -130,7 +130,7 @@ class Engine:
             st, lc = self.substep(st, target_sph, target_rev, torque_motors)
             return (st, lc), None
 
-        nl = self.tree.link_pos.shape[0]
+        nl = self.tree.link_pos.shape[0] + 1  # +1: base-link slot
         (state, contacts), _ = jax.lax.scan(
             body, (state, jnp.zeros(nl, dtype=bool)), None,
             length=self.config.frame_skip,

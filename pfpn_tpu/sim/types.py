@@ -32,6 +32,7 @@ from flax import struct
 FREE = 0
 SPHERICAL = 1
 REVOLUTE = 2
+FIXED_BASE = 3  # zero-dof base (PyBullet useFixedBase)
 
 # Contact geometry types
 GEOM_SPHERE = 0

@@ -28,8 +28,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .types import (
-    FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, Geom, KinematicTree, REVOLUTE,
-    SPHERICAL,
+    FIXED_BASE, FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, Geom, KinematicTree,
+    REVOLUTE, SPHERICAL,
 )
 
 
@@ -166,7 +166,8 @@ def _parse_geometry(geom_elem, scale: float):
     raise ValueError("unsupported geometry")
 
 
-def load_urdf(path: str, global_scaling: float = 1.0) -> KinematicTree:
+def load_urdf(path: str, global_scaling: float = 1.0, use_fixed_base: bool = False) -> KinematicTree:
+    """Compile a URDF. use_fixed_base pins the root link (zero base dofs)."""
     root = ET.parse(path).getroot()
     s = global_scaling
 
@@ -231,7 +232,7 @@ def load_urdf(path: str, global_scaling: float = 1.0) -> KinematicTree:
     }
     body_names: List[str] = [root_link]
     parent: List[int] = [-1]
-    joint_type: List[int] = [FREE]
+    joint_type: List[int] = [FIXED_BASE if use_fixed_base else FREE]
     joint_pos: List[np.ndarray] = [np.zeros(3)]
     joint_quat: List[np.ndarray] = [np.array([0.0, 0.0, 0.0, 1.0])]
     joint_axis: List[np.ndarray] = [np.array([0.0, 0.0, 1.0])]
@@ -315,11 +316,12 @@ def load_urdf(path: str, global_scaling: float = 1.0) -> KinematicTree:
         com_b[b] = (com_b[b] * mass_b[b] + com_in_body * m) / max(mass_b[b] + m, 1e-12)
         mass_b[b] += m
         g = linfo["geom"]
-        if g is not None and name in link_name_to_idx:
+        if g is not None:
             gp, gq = _compose(tp, tq, g["pos"], g["quat"])
+            # root link carries Bullet's base link id -1
             geoms.append(Geom(
                 body=b, kind=g["kind"], pos=tuple(gp), quat=tuple(gq),
-                size=tuple(g["size"]), link=link_name_to_idx[name],
+                size=tuple(g["size"]), link=link_name_to_idx.get(name, -1),
             ))
 
     for name in link_names:
@@ -338,6 +340,8 @@ def load_urdf(path: str, global_scaling: float = 1.0) -> KinematicTree:
         if joint_type[i] == FREE:
             dof_count.append(6)
             off += 6
+        elif joint_type[i] == FIXED_BASE:
+            dof_count.append(0)
         elif joint_type[i] == SPHERICAL:
             dof_count.append(3)
             sph_index[i] = ns

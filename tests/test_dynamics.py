@@ -125,10 +125,9 @@ def test_free_fall(tree):
     tq = jnp.zeros((tree.n_sph, 4)).at[:, 3].set(1.0)
     tr = jnp.zeros(tree.n_rev)
 
-    step = jax.jit(lambda s: eng.substep(s, tq, tr, zero_t)[0])
     n = 60
-    for _ in range(n):
-        st = step(st)
+    st = jax.jit(lambda s: jax.lax.fori_loop(
+        0, n, lambda _, x: eng.substep(x, tq, tr, zero_t)[0], s))(st)
     t = n * cfg.dt
     # uniform gravity: CoM falls by g t^2 / 2 regardless of articulation
     expect_v = -9.8 * t
@@ -150,9 +149,8 @@ def test_energy_conservation_no_gravity(tree, rand_state):
         return 0.5 * float(v @ h @ v)
 
     e0 = ke(st)
-    step = jax.jit(lambda s: eng.substep(s, tq, tr, zero_t)[0])
-    for _ in range(120):
-        st = step(st)
+    st = jax.jit(lambda s: jax.lax.fori_loop(
+        0, 120, lambda _, x: eng.substep(x, tq, tr, zero_t)[0], s))(st)
     e1 = ke(st)
     assert abs(e1 - e0) / max(e0, 1e-6) < 0.05
 
@@ -171,9 +169,8 @@ def test_momentum_conservation_no_gravity(tree, rand_state):
         return np.asarray(jnp.sum(m * ls.lin_vel, axis=0))
 
     p0 = momentum(st)
-    step = jax.jit(lambda s: eng.substep(s, tq, tr, zero_t)[0])
-    for _ in range(120):
-        st = step(st)
+    st = jax.jit(lambda s: jax.lax.fori_loop(
+        0, 120, lambda _, x: eng.substep(x, tq, tr, zero_t)[0], s))(st)
     p1 = momentum(st)
     # fp32 accumulation over 120 substeps; f64 drift is ~1e-9 (verified during
     # development via jax_enable_x64)
@@ -184,31 +181,28 @@ def test_pendulum_period(tmp_path):
     """Small-angle period of a point-mass pendulum: T = 2 pi sqrt(l/g)."""
     path = tmp_path / "pend.urdf"
     path.write_text(PENDULUM_URDF)
-    tree = load_urdf(str(path))
+    tree = load_urdf(str(path), use_fixed_base=True)
     cfg = EngineConfig(control_mode="torque", dt=1.0 / 600.0)
     eng = Engine(tree, cfg)
     st = zero_state(tree).replace(
         base_pos=jnp.array([0.0, 10.0, 0.0]),
         q_rev=jnp.array([0.1]),
     )
-    # pin the base by zeroing its velocity every substep (fixed-base emulation)
     zero_t = [jnp.zeros(1)]
     tq = jnp.zeros((0, 4))
     tr = jnp.zeros(1)
 
     def step(s):
-        s2 = eng.substep(s, tq, tr, zero_t)[0]
-        return s2.replace(
-            base_pos=s.base_pos, base_quat=s.base_quat,
-            base_lin=jnp.zeros(3), base_ang=jnp.zeros(3),
-        )
+        return eng.substep(s, tq, tr, zero_t)[0]
 
-    step = jax.jit(step)
-    angles = []
-    for _ in range(1900):  # > 1.5 periods so two downward crossings land inside
-        st = step(st)
-        angles.append(float(st.q_rev[0]))
-    angles = np.array(angles)
+    @jax.jit
+    def rollout(s):
+        def body(s, _):
+            s = step(s)
+            return s, s.q_rev[0]
+        return jax.lax.scan(body, s, None, length=1900)
+    st, angles = rollout(st)  # > 1.5 periods: two downward crossings inside
+    angles = np.asarray(angles)
     # find first two downward zero crossings -> period
     sign = np.sign(angles)
     crossings = np.where((sign[:-1] > 0) & (sign[1:] <= 0))[0]
@@ -222,7 +216,7 @@ def test_pendulum_period(tmp_path):
 def test_spd_tracks_target(tmp_path):
     path = tmp_path / "pend.urdf"
     path.write_text(PENDULUM_URDF)
-    tree = load_urdf(str(path))
+    tree = load_urdf(str(path), use_fixed_base=True)
     gains = build_gains(tree, {"hinge": 500.0}, {"hinge": 50.0})
     cfg = EngineConfig(control_mode="spd")
     eng = Engine(tree, cfg, gains=gains)
@@ -231,15 +225,9 @@ def test_spd_tracks_target(tmp_path):
     target = jnp.array([0.7])
 
     def step(s):
-        s2 = eng.substep(s, tq, target)[0]
-        return s2.replace(
-            base_pos=s.base_pos, base_quat=s.base_quat,
-            base_lin=jnp.zeros(3), base_ang=jnp.zeros(3),
-        )
+        return eng.substep(s, tq, target)[0]
 
-    step = jax.jit(step)
-    for _ in range(900):
-        st = step(st)
+    st = jax.jit(lambda s: jax.lax.fori_loop(0, 900, lambda _, x: step(x), s))(st)
     # steady-state error from gravity torque: kp * e = m g l sin(theta)
     theta = float(st.q_rev[0])
     resid = 500.0 * (0.7 - theta) - 2.0 * 9.8 * 1.0 * np.sin(theta)
@@ -263,11 +251,14 @@ def test_ground_contact_sphere_rests(tmp_path):
     st = zero_state(tree).replace(base_pos=jnp.array([0.0, 0.3, 0.0]))
     tq = jnp.zeros((0, 4))
     tr = jnp.zeros(0)
-    step = jax.jit(lambda s: eng.substep(s, tq, tr, [])[0])
-    heights = []
-    for _ in range(900):
-        st = step(st)
-        heights.append(float(st.base_pos[1]))
+    @jax.jit
+    def rollout(s):
+        def body(s, _):
+            s = eng.substep(s, tq, tr, [])[0]
+            return s, s.base_pos[1]
+        return jax.lax.scan(body, s, None, length=900)
+    st, heights = rollout(st)
+    heights = np.asarray(heights)
     # settled on the surface, not sunk, not exploded
     assert abs(heights[-1] - 0.1) < 0.01
     assert abs(float(st.base_lin[1])) < 0.05
@@ -283,9 +274,8 @@ def test_humanoid_standing_on_ground_stable(tree):
     st = zero_state(tree).replace(base_pos=jnp.array([0.0, 0.85, 0.0]))
     tq = jnp.zeros((tree.n_sph, 4)).at[:, 3].set(1.0)
     tr = jnp.zeros(tree.n_rev)
-    step = jax.jit(lambda s: eng.control_step(s, tq, tr))
-    for _ in range(15):  # 0.5 s at 30 Hz
-        st, contacts = step(st)
+    st = jax.jit(lambda s: jax.lax.fori_loop(
+        0, 15, lambda _, x: eng.control_step(x, tq, tr)[0], s))(st)  # 0.5 s
     assert np.all(np.isfinite(np.asarray(st.base_pos)))
     assert float(jnp.linalg.norm(st.base_lin)) < 10.0
     # still roughly upright (started standing; may wobble but not collapse through floor)
