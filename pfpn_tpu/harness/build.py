@@ -1,0 +1,121 @@
+"""Construct env / network / algorithm objects from a RunConfig.
+
+Parity with the reference's registry resolution (main.py:56-81): the worker/
+network/model class names become (algo, head) pairs here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..envs.deepmimic import DeepMimicEnv, make as make_env
+from ..envs.wrappers import DiscreteActionWrapper
+from ..networks import (
+    ACConfig, ActorCritic, CategoricalHead, GaussianHead, ParticleHead,
+)
+from .config import RunConfig
+
+
+def build_env(cfg: RunConfig):
+    env = make_env(cfg.env)
+    if cfg.head.kind == "discrete":
+        env = DiscreteActionWrapper(env, cfg.head.particles)
+    return env
+
+
+def build_head(cfg: RunConfig, env):
+    squash = cfg.algo in ("sac", "ddpg")
+    if cfg.head.kind == "particle":
+        return ParticleHead(
+            action_dim=env.action_size,
+            particles=cfg.head.particles,
+            init_sigma=cfg.head.init_sigma,
+            fixed_sigma=cfg.head.fixed_sigma,
+            squash=squash,
+            resample=cfg.head.resample,
+            resample_interval=cfg.head.resample_interval,
+            resample_threshold=cfg.head.resample_threshold,
+            action_low=np.asarray(env.action_low),
+            action_high=np.asarray(env.action_high),
+        )
+    if cfg.head.kind == "gaussian":
+        return GaussianHead(
+            action_dim=env.action_size,
+            init_sigma=cfg.head.init_sigma,
+            fixed_sigma=cfg.head.fixed_sigma,
+            squash=squash,
+            action_low=np.asarray(env.action_low),
+            action_high=np.asarray(env.action_high),
+        )
+    if cfg.head.kind == "discrete":
+        return CategoricalHead(action_dim=env.action_size, bins=cfg.head.particles)
+    raise ValueError(cfg.head.kind)
+
+
+def build_net(cfg: RunConfig, env) -> ActorCritic:
+    head = build_head(cfg, env)
+    return ActorCritic(ACConfig(
+        obs_dim=env.observation_size,
+        head=head,
+        common_shape=cfg.network.common_shape,
+        actor_shape=cfg.network.actor_shape,
+        critic_shape=cfg.network.critic_shape,
+        normalize_state=cfg.network.normalize_state,
+        clip_state=cfg.network.clip_state,
+        value_loss_coef=cfg.network.value_loss_coef,
+        entropy_beta=cfg.network.entropy_beta,
+        normalize_advantage=cfg.network.normalize_advantage,
+        clip_advantage=cfg.network.clip_advantage,
+        gamma=cfg.network.gamma,
+        lambd=cfg.network.lambd,
+    ))
+
+
+def build_algo(cfg: RunConfig):
+    env = build_env(cfg)
+    net = build_net(cfg, env)
+    if cfg.algo == "ppo":
+        from ..algos.ppo import PPO, PPOConfig
+        return PPO(env, net, PPOConfig(
+            num_envs=cfg.num_envs,
+            unroll_length=cfg.worker.unroll_length,
+            minibatch_size=cfg.minibatch_size,
+            opt_epochs=cfg.worker.opt_epochs or 1,
+            lr_actor=cfg.worker.lr_actor,
+            lr_critic=cfg.worker.lr_critic,
+            norm_clip=cfg.worker.norm_clip,
+        ))
+    if cfg.algo == "a2c":
+        from ..algos.a2c import A2C, A2CConfig
+        return A2C(env, net, A2CConfig(
+            num_envs=cfg.num_envs,
+            unroll_length=cfg.worker.unroll_length,
+            minibatch_size=cfg.minibatch_size,
+            opt_epochs=cfg.worker.opt_epochs or 1,
+            lr_actor=cfg.worker.lr_actor,
+            lr_critic=cfg.worker.lr_critic,
+            norm_clip=cfg.worker.norm_clip,
+        ))
+    if cfg.algo == "vtrace":
+        from ..algos.vtrace import VTrace, VTraceConfig
+        return VTrace(env, net, VTraceConfig(
+            num_envs=cfg.num_envs,
+            unroll_length=cfg.worker.unroll_length,
+            queue_batch=cfg.worker.batch_size,
+            lr_actor=cfg.worker.lr_actor,
+            lr_critic=cfg.worker.lr_critic,
+            norm_clip=cfg.worker.norm_clip,
+        ))
+    if cfg.algo in ("sac", "ddpg"):
+        from ..algos.sac import SAC, SACConfig
+        return SAC(env, net, SACConfig(
+            num_envs=cfg.num_envs,
+            batch_size=cfg.minibatch_size,
+            buffer_capacity=cfg.worker.buffer_capacity,
+            warmup=cfg.worker.observations,
+            lr_actor=cfg.worker.lr_actor,
+            lr_critic=cfg.worker.lr_critic,
+            norm_clip=cfg.worker.norm_clip,
+            algo=cfg.algo,
+        ))
+    raise ValueError(cfg.algo)

@@ -1,0 +1,87 @@
+"""Training driver: jitted rounds, interleaved evaluation, checkpointing.
+
+Rebuild of the reference's process orchestration (DistributedModel.train +
+the evaluator process, distributed_model.py:430-545): the worker farm is the
+vmapped env batch inside one jitted round; the polling evaluator process
+becomes interleaved deterministic-policy evaluation on the same chip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .build import build_algo
+from .checkpoint import CheckpointManager
+from .config import RunConfig
+from .metrics import MetricsLogger
+
+
+def train(cfg: RunConfig, root: str = ".",
+          eval_every_rounds: int = 50, eval_episodes: int = 10,
+          max_rounds: Optional[int] = None, verbose: bool = True):
+    """Train to cfg.max_samples; resume from the latest checkpoint if any."""
+    algo = build_algo(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    state = algo.init_state(key)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir(root))
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state = restored
+        if verbose:
+            print(f"[SYSTEM] resumed from step {ckpt.latest_step()}", flush=True)
+
+    logger = MetricsLogger(cfg.log_dir(root))
+    train_round = jax.jit(algo.train_round, donate_argnums=0)
+    evaluate = jax.jit(
+        lambda p, n, k: algo.evaluate(p, n, k, num_episodes=eval_episodes)
+    )
+
+    eval_key = jax.random.PRNGKey(cfg.seed + 12345)
+    round_idx = 0
+    last_ckpt_step = int(state.global_step)
+    t_start = time.time()
+
+    while int(state.total_samples) < cfg.max_samples:
+        if max_rounds is not None and round_idx >= max_rounds:
+            break
+        state, metrics = train_round(state)
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        step = int(metrics["global_step"])
+        logger.log(step, metrics, prefix="train/")
+        if verbose:
+            logger.console("TRAIN", step, {
+                "samples": metrics["total_samples"],
+                "loss": metrics["loss"],
+                "ep_reward": metrics["episode_reward"],
+                "sps": float(metrics["total_samples"]) / max(time.time() - t_start, 1e-9),
+            })
+
+        round_idx += 1
+        if eval_every_rounds and round_idx % eval_every_rounds == 0:
+            eval_key, k = jax.random.split(eval_key)
+            out = evaluate(state.params, state.norm, k)
+            rew = np.asarray(out["reward"])
+            frames = np.asarray(out["frames"])
+            logger.log(step, {
+                "reward": rew.mean(), "reward_max": rew.max(),
+                "reward_min": rew.min(), "frames": frames.mean(),
+                "samples": float(state.total_samples),
+            }, prefix="performance_test/")
+            if verbose:
+                print(f"[PERFORM] step {step} reward {rew.mean():.2f} "
+                      f"(min {rew.min():.2f} max {rew.max():.2f}) "
+                      f"frames {frames.mean():.0f}", flush=True)
+
+        if step - last_ckpt_step >= cfg.save_checkpoint_interval:
+            ckpt.save(step, state)
+            last_ckpt_step = step
+
+    ckpt.save(int(state.global_step), state)
+    logger.close()
+    ckpt.close()
+    return state

@@ -15,6 +15,10 @@ finite differences, Butterworth filtering) happens in pfpn_tpu.mocap.loader.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 
