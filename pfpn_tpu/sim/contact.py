@@ -201,13 +201,11 @@ def solve(
     cs: ContactSet,
     params: ContactParams,
     fkr: FKResult,
-    h_cho,                       # cho_factor of the mass matrix
+    h_inv: jnp.ndarray,          # (ndof, ndof) inverse mass matrix
     v_star: jnp.ndarray,         # (ndof,) pre-constraint velocity
     q_rev: jnp.ndarray,          # (n_rev,) current revolute angles (for limits)
     dt: float,
 ) -> ContactSolution:
-    from jax.scipy.linalg import cho_solve
-
     n_pts = cs.body.shape[0]
     up = params.up_dir
 
@@ -247,9 +245,13 @@ def solve(
 
     n_rows = rows.shape[0]
 
-    w = cho_solve(h_cho, rows.T)                  # (ndof, n_rows) = H^-1 J^T
-    a = rows @ w                                  # (n_rows, n_rows)
-    d = jnp.diagonal(a) + params.cfm
+    # W = H^-1 J^T via the precomputed explicit inverse; the Delassus
+    # operator is applied matrix-free per iteration (A lam = J W lam) —
+    # cheaper than materializing the n_rows x n_rows matrix and far cheaper
+    # than XLA's batched triangular solves (see ops/linalg.py).
+    w = jnp.matmul(h_inv, rows.T,
+                   precision=jax.lax.Precision.DEFAULT)  # (ndof, n_rows)
+    d = jnp.sum(rows.T * w, axis=0) + params.cfm
     inv_d = 1.0 / jnp.maximum(d, 1e-9)
 
     # desired minimum normal velocity: Baumgarte pushes penetration out
@@ -269,7 +271,7 @@ def solve(
     mu = params.mu
 
     def body(_, lam):
-        r = a @ lam + b
+        r = rows @ (w @ lam) + b
         lam_n = lam[:n_pts] - omega * inv_d[:n_pts] * r[:n_pts]
         lam_n = jnp.maximum(lam_n, 0.0) * act_n
         bound = mu * lam_n

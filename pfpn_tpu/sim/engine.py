@@ -17,10 +17,10 @@ from typing import List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import cho_factor, cho_solve
 
-from ..control.spd import SPDGains, clamp_torques, spd_torques
+from ..control.spd import SPDGains, clamp_torques, spd_accel
 from ..math import quaternion as quat
+from ..ops.linalg import spd_inverse_pair
 from . import contact as contact_mod
 from .contact import ContactParams, ContactSet
 from .dynamics import (
@@ -69,20 +69,32 @@ class Engine:
         c = rnea(tree, fkr, gravity=gravity)
         v = pack_velocity(tree, state, fkr)
 
+        # one fused kernel inverts both (H + diag(kd dt)) for Stable-PD and
+        # H for forward dynamics + contacts (ops/linalg.py)
+        eye = jnp.eye(tree.ndof)
         if cfg.control_mode == "spd":
-            motor_tau = spd_torques(
-                tree, self.gains, state, h, c, target_sph, target_rev, dt
+            kd = jnp.asarray(self.gains.kd, dtype=jnp.float32)
+            pair = jnp.stack([h + jnp.diag(kd * dt) + 1e-8 * eye,
+                              h + 1e-8 * eye])
+            invs = spd_inverse_pair(pair)
+            m_spd_inv, h_inv = invs[0], invs[1]
+            a, dtau = spd_accel(
+                tree, self.gains, state, m_spd_inv, c,
+                target_sph, target_rev, dt,
             )
+            # Stable-PD identity: unclamped-torque dynamics accelerate at
+            # exactly `a`; only the torque clamp needs an H^-1 correction
+            qdd = a + h_inv @ dtau
         else:
+            from ..ops.linalg import spd_inverse
+            h_inv = spd_inverse(h + 1e-8 * eye)
             motor_tau = clamp_torques(tree, torque_motors)
-        tau = apply_joint_torques(tree, motor_tau)
-
-        h_cho = cho_factor(h + 1e-8 * jnp.eye(tree.ndof))
-        qdd = cho_solve(h_cho, tau - c)
+            tau = apply_joint_torques(tree, motor_tau)
+            qdd = h_inv @ (tau - c)
         v_star = v + dt * qdd
 
         sol = contact_mod.solve(
-            tree, self.contact_set, cfg.contact, fkr, h_cho, v_star,
+            tree, self.contact_set, cfg.contact, fkr, h_inv, v_star,
             state.q_rev, dt,
         )
         v_new = v_star + sol.dv

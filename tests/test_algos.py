@@ -1,0 +1,153 @@
+"""Algorithm-level tests: GAE semantics, replay, settings registry,
+multi-chip sharding, and a PPO convergence check on a toy MDP."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfpn_tpu.algos.gae import discount, gae
+from pfpn_tpu.algos import replay
+
+
+def test_discount_matches_reference_reverse_scan():
+    vals = jnp.array([[1.0], [2.0], [3.0]])
+    out = discount(vals, 0.5, jnp.array([4.0]))
+    # reference utils.py:5-15: v_ = val[t] + factor*v_
+    expect = [1 + 0.5 * (2 + 0.5 * (3 + 0.5 * 4)), 2 + 0.5 * (3 + 2), 3 + 2]
+    np.testing.assert_allclose(out[:, 0], expect, rtol=1e-6)
+
+
+def test_gae_bootstrap_semantics():
+    gamma, lam = 0.9, 0.8
+    r = jnp.array([[1.0], [1.0], [1.0]])
+    v = jnp.array([[0.5], [0.5], [0.5]])
+    v_next = jnp.array([[0.5], [0.5], [2.0]])
+    # middle step is a TRUE terminal: delta_1 ignores v_next, carry resets
+    term = jnp.array([[False], [True], [False]])
+    done = term
+    adv = np.asarray(gae(r, v, v_next, term, done, gamma, lam))
+    d2 = 1 + gamma * 2.0 - 0.5
+    d1 = 1 + 0.0 - 0.5           # terminal: no bootstrap
+    d0 = 1 + gamma * 0.5 - 0.5
+    np.testing.assert_allclose(adv[2, 0], d2, rtol=1e-5)
+    np.testing.assert_allclose(adv[1, 0], d1, rtol=1e-5)   # carry cut at done
+    np.testing.assert_allclose(adv[0, 0], d0 + gamma * lam * d1, rtol=1e-5)
+
+
+def test_gae_truncation_bootstraps():
+    gamma, lam = 0.9, 0.8
+    r = jnp.array([[1.0]])
+    v = jnp.array([[0.5]])
+    v_next = jnp.array([[3.0]])
+    term = jnp.array([[False]])
+    done = jnp.array([[True]])   # truncated: bootstrap with v_next
+    adv = float(gae(r, v, v_next, term, done, gamma, lam)[0, 0])
+    np.testing.assert_allclose(adv, 1 + gamma * 3.0 - 0.5, rtol=1e-5)
+
+
+def test_replay_ring_and_sampling():
+    buf = replay.create(8, {"x": jnp.zeros((2, 3))})
+    for i in range(6):  # 12 items through a capacity-8 ring
+        buf = replay.add_batch(buf, {"x": jnp.full((2, 3), float(i))})
+    assert int(buf.size) == 8
+    assert int(buf.pointer) == 4
+    # oldest entries (0, 1) overwritten
+    vals = np.unique(np.asarray(buf.data["x"])[:, 0])
+    assert 0.0 not in vals and 1.0 not in vals and 5.0 in vals
+    s = replay.sample(buf, jax.random.PRNGKey(0), 16)
+    assert s["x"].shape == (16, 3)
+
+
+def test_settings_registry_complete():
+    from pfpn_tpu.harness.settings import SETTINGS, build
+
+    for name in SETTINGS:
+        cfg = build(name, particles=10)
+        assert cfg.algo in ("ppo", "a2c", "vtrace", "sac", "ddpg")
+        assert cfg.checkpoint_dir().startswith("./ckpt_DeepMimicWalk-v0/")
+
+
+def test_dppo_pfpn_derived_interval():
+    from pfpn_tpu.harness.settings import build
+
+    cfg = build("deepmimic_dppo_pfpn", particles=35)
+    # reference formula: rolls = round(600*20/512) = 23; iters/roll = 512/32 = 16
+    assert cfg.head.resample_interval == 23 * 16
+    assert cfg.num_envs == 8
+    assert cfg.minibatch_size == 256
+
+
+def test_ppo_learns_on_toy_mdp():
+    """PPO with the PFPN head improves return on a 1-step bandit-style MDP:
+    reward = -(a - 0.4)^2 summed over dims (convergence sanity,
+    SURVEY.md §4 'algorithm tests on toy MDPs')."""
+    from pfpn_tpu.algos.ppo import PPO, PPOConfig
+    from pfpn_tpu.networks import ACConfig, ActorCritic, ParticleHead
+    from flax import struct
+
+    class ToyEnv:
+        observation_size = 4
+        action_size = 2
+        action_low = np.full(2, -1.0)
+        action_high = np.full(2, 1.0)
+
+        @struct.dataclass
+        class S:
+            key: jax.Array
+
+        def reset(self, key):
+            return self.S(key=key), jnp.zeros(4)
+
+        def reset_batch(self, keys):
+            return jax.vmap(self.reset)(keys)
+
+        def step_autoreset(self, states, actions, keys):
+            reward = -jnp.sum((actions - 0.4) ** 2, axis=-1)
+            obs = jnp.zeros((actions.shape[0], 4))
+            done = jnp.ones(actions.shape[0], bool)
+            from pfpn_tpu.envs.deepmimic import StepResult
+            res = StepResult(states, obs, reward, done, jnp.zeros_like(done), done)
+            return self.S(key=keys), obs, res
+
+        def observe(self, s):
+            return jnp.zeros(4)
+
+    env = ToyEnv()
+    head = ParticleHead(action_dim=2, particles=9, resample=0)
+    net = ActorCritic(ACConfig(
+        obs_dim=4, head=head, actor_shape=(32,), critic_shape=(32,),
+        normalize_state=False, normalize_advantage=True, gamma=0.0, lambd=0.0,
+    ))
+    ppo = PPO(env, net, PPOConfig(
+        num_envs=32, unroll_length=8, minibatch_size=64, opt_epochs=2,
+        lr_actor=3e-3, lr_critic=3e-3,
+    ))
+    state = ppo.init_state(jax.random.PRNGKey(0))
+    train = jax.jit(ppo.train_round)
+    state, m0 = train(state)
+    for _ in range(30):
+        state, m = train(state)
+    # deterministic action near the optimum
+    a = ppo.net.act_deterministic(state.params, state.norm, jnp.zeros((1, 4)))
+    np.testing.assert_allclose(np.asarray(a)[0], [0.4, 0.4], atol=0.15)
+
+
+def test_sharded_ppo_runs_on_virtual_mesh():
+    from pfpn_tpu.distributed.mesh import default_mesh, make_sharded_ppo
+    from pfpn_tpu.harness.settings import build
+    from pfpn_tpu.harness.build import build_env, build_net
+    from pfpn_tpu.algos.ppo import PPO, PPOConfig
+
+    n = min(8, len(jax.devices()))
+    mesh = default_mesh(n)
+    cfg = build("deepmimic_dppo_pfpn", particles=8)
+    env = build_env(cfg)
+    net = build_net(cfg, env)
+    ppo = PPO(env, net, PPOConfig(num_envs=2 * n, unroll_length=4,
+                                  minibatch_size=4 * n, opt_epochs=1))
+    state, train_round = make_sharded_ppo(ppo, mesh, jax.random.PRNGKey(0))
+    state, metrics = train_round(state)
+    assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,155 @@
+"""DeepMimic env parity checks: mocap, observation, reward, termination."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfpn_tpu.envs.assets import humanoid_tree
+from pfpn_tpu.envs.deepmimic import make
+from pfpn_tpu.mocap import load_motion, sample_pose
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make("DeepMimicWalk-v0")
+
+
+@pytest.fixture(scope="module")
+def motion():
+    return load_motion(humanoid_tree(), "walk")
+
+
+def test_motion_tables(motion):
+    assert motion.duration > 1.0
+    assert motion.q_sph.shape[1] == 8
+    assert motion.q_rev.shape[1] == 4
+    assert motion.contactable_links == ("left_foot", "right_foot")
+    # quaternions normalized after reorder
+    n = np.linalg.norm(motion.q_sph, axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-3)
+    # knee angles are non-positive (limit [-3.14, 0])
+    assert motion.q_rev.max() < 0.3
+
+
+def test_sample_pose_interpolates(motion):
+    t0 = float(motion.times[3])
+    t1 = float(motion.times[4])
+    p0 = sample_pose(motion, jnp.asarray(t0))
+    pm = sample_pose(motion, jnp.asarray(0.5 * (t0 + t1)))
+    np.testing.assert_allclose(
+        np.asarray(p0.base_pos), motion.base_pos[3], atol=1e-5
+    )
+    # midpoint between frames
+    np.testing.assert_allclose(
+        np.asarray(pm.base_pos), 0.5 * (motion.base_pos[3] + motion.base_pos[4]),
+        atol=1e-5,
+    )
+
+
+def test_sample_pose_wraps(motion):
+    p = sample_pose(motion, jnp.asarray(motion.duration + 0.01))
+    p2 = sample_pose(motion, jnp.asarray(0.01))
+    np.testing.assert_allclose(np.asarray(p.q_rev), np.asarray(p2.q_rev), atol=1e-5)
+
+
+def test_env_spaces(env):
+    assert env.observation_size == 197
+    assert env.action_size == 36
+    # spherical z-offset quirk (deepmimic.py:434-441)
+    np.testing.assert_allclose(env.action_mean[:4], [0, 0, 0.2, 0], atol=1e-6)
+    np.testing.assert_allclose(env.action_low[:4], [-1, -1, -1.2, -1], atol=1e-6)
+    np.testing.assert_allclose(env.action_high[:4], [1, 1, 0.8, 1], atol=1e-6)
+    # abdomen angle std = (1.2 - (-1.2)) * 0.5 * 4
+    np.testing.assert_allclose(env.action_std[3], 4.8, atol=1e-5)
+
+
+def test_reset_matches_reference_pose(env):
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    assert obs.shape == (197,)
+    assert bool(jnp.all(jnp.isfinite(obs)))
+    # phase in [0, 1)
+    assert 0.0 <= float(obs[0]) < 1.0
+    # reward at the reset state (before any dynamics) should be ~1:
+    # the sim state equals the reference pose exactly
+    r = env.reward(state, jnp.zeros((), bool))
+    assert float(r) > 0.95
+
+
+def test_reward_decreases_with_perturbation(env):
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    r0 = float(env.reward(state, jnp.zeros((), bool)))
+    sim = state.sim.replace(
+        base_pos=state.sim.base_pos + jnp.array([0.3, 0.0, 0.0]),
+        base_lin=state.sim.base_lin + 1.0,
+    )
+    r1 = float(env.reward(state.replace(sim=sim), jnp.zeros((), bool)))
+    assert r1 < r0
+    r_term = float(env.reward(state, jnp.ones((), bool)))
+    assert r_term == 0.0
+
+
+def test_step_zero_action_stable(env):
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    res = step(state, jnp.zeros(env.action_size))
+    assert 0.0 <= float(res.reward) <= 1.0
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+
+
+def test_truncation_at_time_limit():
+    env = make("DeepMimicWalk-v0", overtime=0.05)  # truncate after ~1 step
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    res = jax.jit(env.step)(state, jnp.zeros(env.action_size))
+    assert bool(res.truncated)
+    assert bool(res.done)
+    assert not bool(res.terminated)
+    # truncation does not zero the reward (deepmimic.py:548-550)
+    assert float(res.reward) > 0.0
+
+
+def test_autoreset(env):
+    n = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    states, obs = jax.jit(env.reset_batch)(keys)
+    step = jax.jit(env.step_autoreset)
+    # drive hard random actions until some env falls
+    k = jax.random.PRNGKey(7)
+    fell = False
+    for i in range(20):
+        k, ka, kr = jax.random.split(k, 3)
+        a = jax.random.uniform(ka, (n, env.action_size), minval=-1, maxval=1)
+        states, obs, res = step(states, a, jax.random.split(kr, n))
+        if bool(jnp.any(res.done)):
+            fell = True
+            break
+    assert fell
+    # post-reset elapsed_time was re-randomized for done envs
+    assert bool(jnp.all(jnp.isfinite(obs)))
+
+
+def test_all_motions_load():
+    for m in ("walk", "punch", "kick"):
+        env = make(f"DeepMimic{m.capitalize()}-v0")
+        assert env.motion.duration > 0.5
+
+
+def test_discrete_wrapper():
+    from pfpn_tpu.envs.wrappers import DiscreteActionWrapper
+
+    env = make("DeepMimicWalk-v0")
+    w = DiscreteActionWrapper(env, 5)
+    assert w.action_low is None
+    state, obs = jax.jit(w.reset)(jax.random.PRNGKey(0))
+    a = jnp.full((env.action_size,), 2, dtype=jnp.int32)  # mid bin
+    res = jax.jit(w.step)(state, a)
+    assert bool(jnp.all(jnp.isfinite(res.obs)))
+    # bin 0 maps to low, bin n-1 to high
+    np.testing.assert_allclose(
+        np.asarray(w._continuous(jnp.zeros(36, jnp.int32))), env.action_low,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w._continuous(jnp.full(36, 4, jnp.int32))), env.action_high,
+        atol=1e-6,
+    )
