@@ -58,49 +58,76 @@ def build_gains(tree: KinematicTree, kp_by_joint: dict, kd_by_joint: dict) -> SP
 from ..sim.dynamics import f32_precision
 
 
-def spd_errors(tree: KinematicTree, gains: SPDGains, state: SimState,
-               target_sph: jnp.ndarray, target_rev: jnp.ndarray, dt: float):
-    """One-step-predicted position/velocity errors per dof (ndof,) each."""
-    ndof = tree.ndof
-    e_p = jnp.zeros(ndof)
-    e_dp = jnp.zeros(ndof)
+def _motor_dof_tables(tree: KinematicTree):
+    """Static scatter indices: spherical dofs (n_sph*3,), revolute dofs (n_rev,),
+    ordered by sph/rev index."""
+    sph_dofs = np.zeros((tree.n_sph, 3), dtype=np.int64)
+    rev_dofs = np.zeros(tree.n_rev, dtype=np.int64)
     for b in tree.motor_bodies:
         d = int(tree.dof_offset[b])
         if tree.joint_type[b] == REVOLUTE:
-            r = int(tree.rev_index[b])
-            pred = state.q_rev[r] + state.w_rev[r] * dt
-            e_p = e_p.at[d].set(target_rev[r] - pred)
-            e_dp = e_dp.at[d].set(-state.w_rev[r])
+            rev_dofs[int(tree.rev_index[b])] = d
         else:
-            s = int(tree.sph_index[b])
-            q_pred = quat.quat_integrate_local(state.q_sph[s], state.w_sph[s], dt)
-            axis, angle = quat.quat_to_axis_angle(
-                quat.quat_diff_rel(q_pred, target_sph[s])
-            )
-            e_p = e_p.at[d:d + 3].set(axis * angle)
-            e_dp = e_dp.at[d:d + 3].set(-state.w_sph[s])
+            sph_dofs[int(tree.sph_index[b])] = [d, d + 1, d + 2]
+    return sph_dofs.reshape(-1), rev_dofs
+
+
+def spd_errors(tree: KinematicTree, gains: SPDGains, state: SimState,
+               target_sph: jnp.ndarray, target_rev: jnp.ndarray, dt: float):
+    """One-step-predicted position/velocity errors per dof (ndof,) each.
+
+    All spherical joints are processed in one batched quaternion pass; the
+    per-dof layout is restored with static scatter indices (op-count matters:
+    this runs every 600 Hz substep)."""
+    ndof = tree.ndof
+    sph_dofs, rev_dofs = _motor_dof_tables(tree)
+    e_p = jnp.zeros(ndof)
+    e_dp = jnp.zeros(ndof)
+    if tree.n_sph:
+        q_pred = quat.quat_integrate_local(state.q_sph, state.w_sph, dt)
+        axis, angle = quat.quat_to_axis_angle(
+            quat.quat_diff_rel(q_pred, target_sph)
+        )
+        e_p = e_p.at[sph_dofs].set((axis * angle[:, None]).reshape(-1))
+        e_dp = e_dp.at[sph_dofs].set((-state.w_sph).reshape(-1))
+    if tree.n_rev:
+        pred = state.q_rev + state.w_rev * dt
+        e_p = e_p.at[rev_dofs].set(target_rev - pred)
+        e_dp = e_dp.at[rev_dofs].set(-state.w_rev)
     return e_p, e_dp
 
 
-def _clamp_motor_slices(tree: KinematicTree, tau: jnp.ndarray):
-    """Per-motor torque clamping (agent.py:317-339) on an (ndof,) vector.
-
-    Returns (motor torque list, clamped full vector)."""
-    out = []
-    clamped = tau
+def _motor_limits(tree: KinematicTree):
+    """Static per-joint torque limits ordered by sph/rev index."""
+    sph_lim = np.zeros(tree.n_sph)
+    rev_lim = np.zeros(tree.n_rev)
     for mi, b in enumerate(tree.motor_bodies):
-        d = int(tree.dof_offset[b])
-        lim = float(tree.motor_torque_limit[mi])
         if tree.joint_type[b] == REVOLUTE:
-            t = jnp.clip(tau[d:d + 1], -lim, lim)
+            rev_lim[int(tree.rev_index[b])] = tree.motor_torque_limit[mi]
         else:
-            t3 = tau[d:d + 3]
-            n = jnp.linalg.norm(t3)
-            scale = jnp.where(n > lim, lim / jnp.maximum(n, 1e-9), 1.0)
-            t = t3 * scale
-        out.append(t)
-        clamped = clamped.at[d:d + t.shape[0]].set(t)
-    return out, clamped
+            sph_lim[int(tree.sph_index[b])] = tree.motor_torque_limit[mi]
+    return sph_lim, rev_lim
+
+
+def _clamp_motor_slices(tree: KinematicTree, tau: jnp.ndarray):
+    """Per-motor torque clamping (agent.py:317-339) on an (ndof,) vector,
+    batched over all spherical/revolute joints at once.
+
+    Returns (None, clamped full vector)."""
+    sph_dofs, rev_dofs = _motor_dof_tables(tree)
+    sph_lim, rev_lim = _motor_limits(tree)
+    clamped = tau
+    if tree.n_sph:
+        t3 = tau[sph_dofs].reshape(tree.n_sph, 3)
+        n = jnp.linalg.norm(t3, axis=-1)
+        lim = jnp.asarray(sph_lim, dtype=tau.dtype)
+        scale = jnp.where(n > lim, lim / jnp.maximum(n, 1e-9), 1.0)
+        clamped = clamped.at[sph_dofs].set((t3 * scale[:, None]).reshape(-1))
+    if tree.n_rev:
+        lim = jnp.asarray(rev_lim, dtype=tau.dtype)
+        clamped = clamped.at[rev_dofs].set(
+            jnp.clip(tau[rev_dofs], -lim, lim))
+    return None, clamped
 
 
 @f32_precision
@@ -206,4 +233,43 @@ def clamp_torques(tree: KinematicTree, torques: List[jnp.ndarray]) -> List[jnp.n
             n = jnp.linalg.norm(t)
             scale = jnp.where(n > lim, lim / jnp.maximum(n, 1e-9), 1.0)
             out.append(t * scale)
+    return out
+
+
+def pd_position_torques(
+    tree: KinematicTree,
+    state: SimState,
+    target_sph: jnp.ndarray,
+    target_rev: jnp.ndarray,
+    position_gain: float = 0.3,
+):
+    """Explicit-PD approximation of Bullet's POSITION_CONTROL motor.
+
+    The reference's non-SPD position mode (agent.py:290-315) drives each
+    joint with Bullet's constraint-based servo (positionGain=0.3, force
+    capped at the joint's effort limit). That servo is a velocity-level
+    constraint solved implicitly; here it is approximated by an explicit PD
+    whose stiffness is the effort limit reached at ~0.3 rad error and whose
+    damping is near-critical for the 600 Hz substep. Unused by all shipped
+    presets (they use SPD); provided for control-mode parity.
+    """
+    out = []
+    for mi, b in enumerate(tree.motor_bodies):
+        lim = float(tree.motor_torque_limit[mi])
+        kp = position_gain * lim / 0.1
+        kd = 0.05 * kp / 30.0
+        if tree.joint_type[b] == REVOLUTE:
+            r = int(tree.rev_index[b])
+            e = target_rev[r] - state.q_rev[r]
+            tau = kp * e - kd * state.w_rev[r]
+            out.append(jnp.clip(tau[None], -lim, lim))
+        else:
+            s = int(tree.sph_index[b])
+            axis, angle = quat.quat_to_axis_angle(
+                quat.quat_diff_rel(state.q_sph[s], target_sph[s])
+            )
+            tau = kp * axis * angle - kd * state.w_sph[s]
+            n = jnp.linalg.norm(tau)
+            scale = jnp.where(n > lim, lim / jnp.maximum(n, 1e-9), 1.0)
+            out.append(tau * scale)
     return out

@@ -64,7 +64,12 @@ def train(cfg: RunConfig, root: str = ".",
         round_idx += 1
         if eval_every_rounds and round_idx % eval_every_rounds == 0:
             eval_key, k = jax.random.split(eval_key)
-            out = evaluate(state.params, state.norm, k)
+            try:
+                out = evaluate(state.params, state.norm, k)
+            except Exception as e:  # transient backend errors must not kill training
+                print(f"[SYSTEM] evaluator failed ({type(e).__name__}); skipping",
+                      flush=True)
+                continue
             rew = np.asarray(out["reward"])
             frames = np.asarray(out["frames"])
             logger.log(step, {

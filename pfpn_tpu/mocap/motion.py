@@ -89,3 +89,58 @@ def sync_position_offset(
     raw = sample_pose(motion, time)
     offset = target_base_pos - raw.base_pos
     return offset.at[up_dir].set(0.0)
+
+
+def mirror_pose(pose: MotionPose, tree, joint_pairs, up_dir: int = 1) -> MotionPose:
+    """Left/right mirror of a reference pose (deepmimic.py:217-250, y-up).
+
+    For y-up the lateral axis is z (w=2): base position/linear-velocity z
+    negate; quaternion x,y components and angular-velocity x,y negate;
+    spherical joint quats/velocities mirror the same way; revolute joints
+    negate only when their axis has an x or y component (the knees/elbows
+    rotate about z and keep their sign); finally left/right joint channels
+    swap (agent.py joint_pairs).
+    """
+    import numpy as np
+
+    assert up_dir == 1, "mirror implemented for the y-up humanoid"
+    neg_w = jnp.array([1.0, 1.0, -1.0])
+    neg_quat = jnp.array([-1.0, -1.0, 1.0, 1.0])
+    neg_ang = jnp.array([-1.0, -1.0, 1.0])
+
+    q_sph = pose.q_sph * neg_quat[None, :]
+    w_sph = pose.w_sph * neg_ang[None, :]
+    q_rev = pose.q_rev
+    w_rev = pose.w_rev
+    motor_index = {nm: i for i, nm in enumerate(tree.motor_names)}
+    for m, b in enumerate(tree.motor_bodies):
+        if tree.joint_type[b] == 2:  # REVOLUTE
+            ax = tree.joint_axis[b]
+            if abs(ax[0]) > 1e-9 or abs(ax[1]) > 1e-9:
+                r = int(tree.rev_index[b])
+                q_rev = q_rev.at[r].multiply(-1.0)
+                w_rev = w_rev.at[r].multiply(-1.0)
+
+    # swap left/right channels
+    perm_sph = np.arange(tree.n_sph)
+    perm_rev = np.arange(tree.n_rev)
+    for right, left in joint_pairs:
+        br = tree.motor_bodies[motor_index[right]]
+        bl = tree.motor_bodies[motor_index[left]]
+        if tree.joint_type[br] == 1:  # SPHERICAL
+            r, l = int(tree.sph_index[br]), int(tree.sph_index[bl])
+            perm_sph[r], perm_sph[l] = perm_sph[l], perm_sph[r]
+        else:
+            r, l = int(tree.rev_index[br]), int(tree.rev_index[bl])
+            perm_rev[r], perm_rev[l] = perm_rev[l], perm_rev[r]
+
+    return MotionPose(
+        base_pos=pose.base_pos * neg_w,
+        base_quat=pose.base_quat * neg_quat,
+        base_lin=pose.base_lin * neg_w,
+        base_ang=pose.base_ang * neg_ang,
+        q_sph=q_sph[perm_sph],
+        w_sph=w_sph[perm_sph],
+        q_rev=q_rev[perm_rev],
+        w_rev=w_rev[perm_rev],
+    )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..control.spd import SPDGains, clamp_torques, spd_accel
+from ..control.spd import SPDGains, clamp_torques, pd_position_torques, spd_accel
 from ..math import quaternion as quat
 from ..ops.linalg import spd_inverse_pair
 from . import contact as contact_mod
@@ -35,7 +35,7 @@ class EngineConfig:
     frame_skip: int = 20
     gravity: Tuple[float, float, float] = (0.0, -9.8, 0.0)
     contact: ContactParams = dataclasses.field(default_factory=ContactParams)
-    control_mode: str = "spd"   # "spd" | "torque"
+    control_mode: str = "spd"   # "spd" | "torque" | "position"
 
 
 class Engine:
@@ -88,7 +88,10 @@ class Engine:
         else:
             from ..ops.linalg import spd_inverse
             h_inv = spd_inverse(h + 1e-8 * eye)
-            motor_tau = clamp_torques(tree, torque_motors)
+            if cfg.control_mode == "position":
+                motor_tau = pd_position_torques(tree, state, target_sph, target_rev)
+            else:
+                motor_tau = clamp_torques(tree, torque_motors)
             tau = apply_joint_torques(tree, motor_tau)
             qdd = h_inv @ (tau - c)
         v_star = v + dt * qdd
