@@ -36,6 +36,12 @@ class EngineConfig:
     gravity: Tuple[float, float, float] = (0.0, -9.8, 0.0)
     contact: ContactParams = dataclasses.field(default_factory=ContactParams)
     control_mode: str = "spd"   # "spd" | "torque" | "position"
+    # level-batched FK/H/C (sim/batched.py): ~5x fewer XLA ops, identical
+    # results; on the current v5e backend the recursion's elementwise ops
+    # outperform the batched small GEMMs at the B~1024 sweet spot, so the
+    # recursion stays default. The batched path is the feedstock for a
+    # future fused Pallas substep kernel.
+    fast_dynamics: bool = False
 
 
 class Engine:
@@ -50,6 +56,11 @@ class Engine:
         self.config = config
         self.gains = gains
         self.contact_set: ContactSet = contact_mod.build_contact_set(tree)
+        if config.fast_dynamics:
+            from .batched import build_tables
+            self.batched_tables = build_tables(tree)
+        else:
+            self.batched_tables = None
 
     # -- one 600 Hz physics substep -------------------------------------
     def substep(
@@ -64,10 +75,15 @@ class Engine:
         dt = cfg.dt
         gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
-        fkr = fk(tree, state)
-        h = crba(tree, fkr)
-        c = rnea(tree, fkr, gravity=gravity)
-        v = pack_velocity(tree, state, fkr)
+        if cfg.fast_dynamics:
+            from .batched import compute as batched_compute
+            bd = batched_compute(tree, self.batched_tables, state, gravity)
+            fkr, h, c, v = bd.fkr, bd.h, bd.c, bd.v
+        else:
+            fkr = fk(tree, state)
+            h = crba(tree, fkr)
+            c = rnea(tree, fkr, gravity=gravity)
+            v = pack_velocity(tree, state, fkr)
 
         # one fused kernel inverts both (H + diag(kd dt)) for Stable-PD and
         # H for forward dynamics + contacts (ops/linalg.py)
