@@ -250,7 +250,7 @@ def solve(
     # cheaper than materializing the n_rows x n_rows matrix and far cheaper
     # than XLA's batched triangular solves (see ops/linalg.py).
     w = jnp.matmul(h_inv, rows.T,
-                   precision=jax.lax.Precision.DEFAULT)  # (ndof, n_rows)
+                   precision=jax.lax.Precision.HIGH)  # (ndof, n_rows), 3-pass bf16
     d = jnp.sum(rows.T * w, axis=0) + params.cfm
     inv_d = 1.0 / jnp.maximum(d, 1e-9)
 
