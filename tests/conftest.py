@@ -7,7 +7,10 @@ anywhere, while the real TPU path is exercised by bench.py / the driver.
 
 import os
 
-# Force CPU: the ambient environment may point JAX_PLATFORMS at a TPU tunnel.
+# Force CPU: the ambient environment points JAX_PLATFORMS at a TPU tunnel and
+# a sitecustomize module imports jax at interpreter start, so the env var
+# alone is not reliable — pin via jax.config too (effective until the first
+# backend initialization).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -15,3 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
