@@ -37,8 +37,11 @@ class ContactParams:
     mu: float = 0.81            # combined friction (0.9 * 0.9, Bullet multiply rule)
     erp: float = 0.2            # Baumgarte position-correction factor
     slop: float = 0.001         # penetration slop (m)
-    iterations: int = 12        # fixed solver iterations (Bullet default: 10)
-    relaxation: float = 0.6     # Jacobi under-relaxation
+    # Fixed iteration count (Bullet's PGS default is 10; Jacobi needs a few
+    # more). Relaxation MUST stay conservative: omega=0.6 empirically
+    # diverges for clustered foot contacts (NaN cascades); 0.45 is stable.
+    iterations: int = 16
+    relaxation: float = 0.45
     cfm: float = 1e-6           # constraint regularization on diag(A)
     up_dir: int = 1             # index of the up axis (1 = y-up)
     limit_erp: float = 0.2      # joint-limit restitution factor
