@@ -28,8 +28,10 @@ def test_motion_tables(motion):
     # quaternions normalized after reorder
     n = np.linalg.norm(motion.q_sph, axis=-1)
     np.testing.assert_allclose(n, 1.0, atol=1e-3)
-    # knee angles are non-positive (limit [-3.14, 0])
-    assert motion.q_rev.max() < 0.3
+    # knee angles (rev indices 0, 2) are non-positive (limit [-3.14, 0]);
+    # elbows (1, 3) are non-negative (limit [0, 3.14])
+    assert motion.q_rev[:, [0, 2]].max() < 0.05
+    assert motion.q_rev[:, [1, 3]].min() > -0.05
 
 
 def test_sample_pose_interpolates(motion):
@@ -98,9 +100,11 @@ def test_step_zero_action_stable(env):
 
 
 def test_truncation_at_time_limit():
-    env = make("DeepMimicWalk-v0", overtime=0.05)  # truncate after ~1 step
+    env = make("DeepMimicWalk-v0", overtime=0.05)  # truncate after 2 steps
     state, _ = jax.jit(env.reset)(jax.random.PRNGKey(1))
-    res = jax.jit(env.step)(state, jnp.zeros(env.action_size))
+    step = jax.jit(env.step)
+    res = step(state, jnp.zeros(env.action_size))
+    res = step(res.state, jnp.zeros(env.action_size))
     assert bool(res.truncated)
     assert bool(res.done)
     assert not bool(res.terminated)
