@@ -36,7 +36,7 @@ def train(cfg: RunConfig, root: str = ".",
             print(f"[SYSTEM] resumed from step {ckpt.latest_step()}", flush=True)
 
     logger = MetricsLogger(cfg.log_dir(root))
-    train_round = jax.jit(algo.train_round, donate_argnums=0)
+    train_round = jax.jit(algo.train_round)  # argument donation is broken on the axon tunnel backend
     evaluate = jax.jit(
         lambda p, n, k: algo.evaluate(p, n, k, num_episodes=eval_episodes)
     )

@@ -37,11 +37,13 @@ class ContactParams:
     mu: float = 0.81            # combined friction (0.9 * 0.9, Bullet multiply rule)
     erp: float = 0.2            # Baumgarte position-correction factor
     slop: float = 0.001         # penetration slop (m)
-    # Fixed iteration count (Bullet's PGS default is 10; Jacobi needs a few
-    # more). Relaxation MUST stay conservative: omega=0.6 empirically
-    # diverges for clustered foot contacts (NaN cascades); 0.45 is stable.
-    iterations: int = 16
-    relaxation: float = 0.45
+    # Fixed iteration count (Bullet's PGS default is 10; the projected
+    # gradient needs a few more). The per-row step is relaxation/rowsum_r —
+    # a Gershgorin bound on the Delassus spectrum — so the iteration cannot
+    # diverge even for fallen poses with 20+ strongly coupled contacts
+    # (plain Jacobi relaxation blows up there; found the hard way).
+    iterations: int = 20
+    relaxation: float = 1.0
     cfm: float = 1e-6           # constraint regularization on diag(A)
     up_dir: int = 1             # index of the up axis (1 = y-up)
     limit_erp: float = 0.2      # joint-limit restitution factor
@@ -254,8 +256,11 @@ def solve(
     # than XLA's batched triangular solves (see ops/linalg.py).
     w = jnp.matmul(h_inv, rows.T,
                    precision=jax.lax.Precision.HIGH)  # (ndof, n_rows), 3-pass bf16
-    d = jnp.sum(rows.T * w, axis=0) + params.cfm
-    inv_d = 1.0 / jnp.maximum(d, 1e-9)
+    a_mat = jnp.matmul(rows, w, precision=jax.lax.Precision.HIGH)
+    d = jnp.diagonal(a_mat) + params.cfm
+    # spectrum-safe per-row step (see ContactParams.iterations comment)
+    rowsum = jnp.sum(jnp.abs(a_mat), axis=1) + params.cfm
+    step = params.relaxation / jnp.maximum(rowsum, 1e-9)
 
     # desired minimum normal velocity: Baumgarte pushes penetration out
     pen = jnp.maximum(-dist - params.slop, 0.0)
@@ -270,23 +275,17 @@ def solve(
     act_n = active.astype(jnp.float32)
     act_t = act_n
     act_l = lim_active.astype(jnp.float32)
-    omega = params.relaxation
     mu = params.mu
 
     def body(_, lam):
-        r = rows @ (w @ lam) + b
-        lam_n = lam[:n_pts] - omega * inv_d[:n_pts] * r[:n_pts]
-        lam_n = jnp.maximum(lam_n, 0.0) * act_n
+        upd = lam - step * (a_mat @ lam + b)
+        lam_n = jnp.maximum(upd[:n_pts], 0.0) * act_n
         bound = mu * lam_n
-        lam_t1 = lam[n_pts:2 * n_pts] - omega * inv_d[n_pts:2 * n_pts] * r[n_pts:2 * n_pts]
-        lam_t1 = jnp.clip(lam_t1, -bound, bound) * act_t
-        lam_t2 = lam[2 * n_pts:3 * n_pts] - omega * inv_d[2 * n_pts:3 * n_pts] * r[2 * n_pts:3 * n_pts]
-        lam_t2 = jnp.clip(lam_t2, -bound, bound) * act_t
+        lam_t1 = jnp.clip(upd[n_pts:2 * n_pts], -bound, bound) * act_t
+        lam_t2 = jnp.clip(upd[2 * n_pts:3 * n_pts], -bound, bound) * act_t
         parts = [lam_n, lam_t1, lam_t2]
         if n_lim:
-            lam_l = lam[3 * n_pts:] - omega * inv_d[3 * n_pts:] * r[3 * n_pts:]
-            lam_l = jnp.maximum(lam_l, 0.0) * act_l
-            parts.append(lam_l)
+            parts.append(jnp.maximum(upd[3 * n_pts:], 0.0) * act_l)
         return jnp.concatenate(parts)
 
     lam = jax.lax.fori_loop(0, params.iterations, body, jnp.zeros(n_rows))

@@ -309,6 +309,10 @@ def advance(
     *post-step* orientation. Converting with the pre-step rotation silently
     injects an O(dt·ω×v) momentum error per step.
     """
+    # Bullet caps multibody coordinate velocities at 100 by default
+    # (btMultiBody::maxCoordinateVelocity) — same safety net here.
+    v_new = jnp.clip(v_new, -100.0, 100.0)
+
     if tree.joint_type[0] == FIXED_BASE:
         base_pos = state.base_pos
         base_quat = state.base_quat
