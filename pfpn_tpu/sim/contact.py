@@ -42,8 +42,11 @@ class ContactParams:
     # a Gershgorin bound on the Delassus spectrum — so the iteration cannot
     # diverge even for fallen poses with 20+ strongly coupled contacts
     # (plain Jacobi relaxation blows up there; found the hard way).
-    iterations: int = 20
+    iterations: int = 16
     relaxation: float = 1.0
+    # solve only the K deepest candidate points (static shape); walking
+    # needs <= 16 (two flat feet = 16 box corners). None = all candidates.
+    max_contacts: int | None = 16
     cfm: float = 1e-6           # constraint regularization on diag(A)
     up_dir: int = 1             # index of the up axis (1 = y-up)
     limit_erp: float = 0.2      # joint-limit restitution factor
@@ -215,10 +218,24 @@ def solve(
     up = params.up_dir
 
     x = point_positions(cs, fkr)
-    dist = x[:, up] - jnp.asarray(cs.radius, dtype=jnp.float32)
-    active = dist < 0.0
+    dist_all = x[:, up] - jnp.asarray(cs.radius, dtype=jnp.float32)
+    active_all = dist_all < 0.0
 
-    jp = point_jacobians(cs, fkr, x)             # (np, 3, ndof)
+    jp_all = point_jacobians(cs, fkr, x)          # (np_all, 3, ndof)
+
+    # top-K deepest candidates -> fixed-size active set
+    if params.max_contacts is not None and params.max_contacts < n_pts:
+        k = params.max_contacts
+        _, sel = jax.lax.top_k(-dist_all, k)
+        dist = dist_all[sel]
+        active = active_all[sel]
+        jp = jp_all[sel]
+        n_pts = k
+    else:
+        sel = None
+        dist = dist_all
+        active = active_all
+        jp = jp_all
 
     # world-frame constraint directions for a static plane (y-up):
     #   normal = up axis; tangents = the two remaining axes (static!)
@@ -256,7 +273,9 @@ def solve(
     # than XLA's batched triangular solves (see ops/linalg.py).
     w = jnp.matmul(h_inv, rows.T,
                    precision=jax.lax.Precision.HIGH)  # (ndof, n_rows), 3-pass bf16
-    a_mat = jnp.matmul(rows, w, precision=jax.lax.Precision.HIGH)
+    # A only steers the fixed-point iteration (impulses apply through W),
+    # so single-pass precision is sufficient and 3x cheaper
+    a_mat = jnp.matmul(rows, w, precision=jax.lax.Precision.DEFAULT)
     d = jnp.diagonal(a_mat) + params.cfm
     # spectrum-safe per-row step (see ContactParams.iterations comment)
     rowsum = jnp.sum(jnp.abs(a_mat), axis=1) + params.cfm
@@ -291,8 +310,9 @@ def solve(
     lam = jax.lax.fori_loop(0, params.iterations, body, jnp.zeros(n_rows))
     dv = w @ lam
 
-    # per-link contact flags; slot nl aggregates base-link (-1) geoms
+    # per-link contact flags use ALL candidates (termination checks must see
+    # every touching link, not just the solved set); slot nl = base link
     nl = tree.link_pos.shape[0]
     link_idx = np.where(cs.link < 0, nl, cs.link)
-    link_contact = jnp.zeros(nl + 1, dtype=bool).at[jnp.asarray(link_idx)].max(active)
-    return ContactSolution(dv=dv, penetrating=active, link_contact=link_contact)
+    link_contact = jnp.zeros(nl + 1, dtype=bool).at[jnp.asarray(link_idx)].max(active_all)
+    return ContactSolution(dv=dv, penetrating=active_all, link_contact=link_contact)
