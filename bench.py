@@ -59,7 +59,18 @@ def main():
     n_dev = len(jax.devices())
     batch = int(os.environ.get("PFPN_BENCH_BATCH", 1024)) * n_dev
     n_steps = int(os.environ.get("PFPN_BENCH_STEPS", 15))
-    steps_per_s = measure(batch, n_steps)
+    # the remote TPU tunnel occasionally throws transient INVALID_ARGUMENT
+    # errors (single-client backend); retry with a cooldown
+    last_err = None
+    for attempt in range(3):
+        try:
+            steps_per_s = measure(batch, n_steps)
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            time.sleep(120)
+    else:
+        raise last_err
     target = 125_000.0 * n_dev
     print(json.dumps({
         "metric": "deepmimic_walk_env_steps_per_s",
