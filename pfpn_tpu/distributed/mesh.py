@@ -14,42 +14,50 @@ multiprocess setup, SURVEY.md §4).
 
 from __future__ import annotations
 
-from typing import Tuple
+import dataclasses
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Per-env state lives in these PPOState/SACState fields (leading axis =
+# num_envs); everything else — params, optimizer state, normalizer, head
+# stats, RNG key, counters — replicates. Selection is by *pytree path*
+# (field name), never by shape: a parameter whose first dimension happens
+# to equal num_envs (e.g. a 512-wide trunk with 512 envs) must still
+# replicate, or the implicit gradient psum silently breaks.
+DATA_FIELDS = frozenset({"env_state", "obs", "ep_return", "last_ep_return"})
 
-def _ppo_state_shardings(ppo, state, mesh: Mesh):
-    """Env-batch leaves shard over 'data'; everything else replicates."""
+
+def state_shardings(state, mesh: Mesh):
+    """Sharding pytree for an algo state: DATA_FIELDS shard over 'data',
+    everything else replicates. Matches `state`'s structure leaf-for-leaf."""
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    num_envs = ppo.cfg.num_envs
-
-    env_leaves = set(id(x) for x in jax.tree.leaves(state.env_state))
-
-    def spec(leaf):
-        if id(leaf) in env_leaves:
-            return data
-        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == num_envs:
-            return data
-        return repl
-
-    return jax.tree.map(spec, state)
+    out = {}
+    for f in dataclasses.fields(state):
+        sub = getattr(state, f.name)
+        spec = data if f.name in DATA_FIELDS else repl
+        out[f.name] = jax.tree.map(lambda _: spec, sub)
+    return state.replace(**out)
 
 
-def make_sharded_ppo(ppo, mesh: Mesh, key):
+def shard_state(state, mesh: Mesh):
+    """Place an (unsharded or host) algo state onto the mesh."""
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
+def make_sharded_ppo(ppo, mesh: Mesh, key, donate: bool = True):
     """Returns (sharded_state, jitted_train_round) for a PPO/A2C/V-trace
     instance on the given mesh. num_envs must divide the data-axis size."""
     assert ppo.cfg.num_envs % mesh.shape["data"] == 0, (
         f"num_envs={ppo.cfg.num_envs} not divisible by mesh "
         f"data axis {mesh.shape['data']}"
     )
-    state = ppo.init_state(key)
-    shardings = _ppo_state_shardings(ppo, state, mesh)
-    state = jax.device_put(state, shardings)
-    train_round = jax.jit(ppo.train_round, donate_argnums=0)
+    state = shard_state(ppo.init_state(key), mesh)
+    train_round = jax.jit(
+        ppo.train_round, donate_argnums=(0,) if donate else ()
+    )
     return state, train_round
 
 

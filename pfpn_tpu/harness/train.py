@@ -14,6 +14,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from ..distributed.mesh import default_mesh, shard_state
 from .build import build_algo
 from .checkpoint import CheckpointManager
 from .config import RunConfig
@@ -23,7 +24,13 @@ from .metrics import MetricsLogger
 def train(cfg: RunConfig, root: str = ".",
           eval_every_rounds: int = 50, eval_episodes: int = 10,
           max_rounds: Optional[int] = None, verbose: bool = True):
-    """Train to cfg.max_samples; resume from the latest checkpoint if any."""
+    """Train to cfg.max_samples; resume from the latest checkpoint if any.
+
+    Uses every visible device: with >1 device the state is placed on a
+    data-parallel mesh (env batch sharded, params replicated — GSPMD inserts
+    the gradient all-reduce over ICI), replacing the reference's
+    SyncReplicasOptimizer aggregation (sync_model.py:92-95).
+    """
     algo = build_algo(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     state = algo.init_state(key)
@@ -35,6 +42,15 @@ def train(cfg: RunConfig, root: str = ".",
         if verbose:
             print(f"[SYSTEM] resumed from step {ckpt.latest_step()}", flush=True)
 
+    n_dev = len(jax.devices())
+    num_envs = getattr(algo.cfg, "num_envs", 1)
+    if n_dev > 1 and num_envs % n_dev == 0:
+        mesh = default_mesh()
+        state = shard_state(state, mesh)
+        if verbose:
+            print(f"[SYSTEM] data-parallel mesh over {n_dev} devices "
+                  f"({num_envs // n_dev} envs/device)", flush=True)
+
     logger = MetricsLogger(cfg.log_dir(root))
     train_round = jax.jit(algo.train_round)  # argument donation is broken on the axon tunnel backend
     evaluate = jax.jit(
@@ -43,6 +59,8 @@ def train(cfg: RunConfig, root: str = ".",
 
     eval_key = jax.random.PRNGKey(cfg.seed + 12345)
     round_idx = 0
+    eval_reward_sum, eval_reward_n = 0.0, 0  # performance_test/reward_avg
+    # (running average over all eval episodes, distributed_model.py:247-252)
     last_ckpt_step = int(state.global_step)
     t_start = time.time()
 
@@ -72,14 +90,19 @@ def train(cfg: RunConfig, root: str = ".",
                 continue
             rew = np.asarray(out["reward"])
             frames = np.asarray(out["frames"])
+            eval_reward_sum += float(rew.sum())
+            eval_reward_n += rew.size
+            reward_avg = eval_reward_sum / eval_reward_n
             logger.log(step, {
-                "reward": rew.mean(), "reward_max": rew.max(),
+                "reward": rew.mean(), "reward_avg": reward_avg,
+                "reward_max": rew.max(),
                 "reward_min": rew.min(), "frames": frames.mean(),
                 "samples": float(state.total_samples),
             }, prefix="performance_test/")
             if verbose:
                 print(f"[PERFORM] step {step} reward {rew.mean():.2f} "
-                      f"(min {rew.min():.2f} max {rew.max():.2f}) "
+                      f"(avg {reward_avg:.2f} min {rew.min():.2f} "
+                      f"max {rew.max():.2f}) "
                       f"frames {frames.mean():.0f}", flush=True)
 
         if step - last_ckpt_step >= cfg.save_checkpoint_interval:

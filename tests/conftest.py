@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# never open an axon tunnel connection from the test process — it can kill a
+# concurrently training TPU client (single-client backend)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax  # noqa: E402
 

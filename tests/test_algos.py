@@ -80,40 +80,44 @@ def test_dppo_pfpn_derived_interval():
     assert cfg.minibatch_size == 256
 
 
+from flax import struct
+
+
+class ToyEnv:
+    """1-step bandit-style MDP: reward = -(a - 0.4)^2 summed over dims."""
+
+    observation_size = 4
+    action_size = 2
+    action_low = np.full(2, -1.0)
+    action_high = np.full(2, 1.0)
+
+    @struct.dataclass
+    class S:
+        key: jax.Array
+
+    def reset(self, key):
+        return self.S(key=key), jnp.zeros(4)
+
+    def reset_batch(self, keys):
+        return jax.vmap(self.reset)(keys)
+
+    def step_autoreset(self, states, actions, keys):
+        reward = -jnp.sum((actions - 0.4) ** 2, axis=-1)
+        obs = jnp.zeros((actions.shape[0], 4))
+        done = jnp.ones(actions.shape[0], bool)
+        from pfpn_tpu.envs.deepmimic import StepResult
+        res = StepResult(states, obs, reward, done, jnp.zeros_like(done), done)
+        return self.S(key=keys), obs, res
+
+    def observe(self, s):
+        return jnp.zeros(4)
+
+
 def test_ppo_learns_on_toy_mdp():
-    """PPO with the PFPN head improves return on a 1-step bandit-style MDP:
-    reward = -(a - 0.4)^2 summed over dims (convergence sanity,
-    SURVEY.md §4 'algorithm tests on toy MDPs')."""
+    """PPO with the PFPN head improves return on the toy MDP (convergence
+    sanity, SURVEY.md §4 'algorithm tests on toy MDPs')."""
     from pfpn_tpu.algos.ppo import PPO, PPOConfig
     from pfpn_tpu.networks import ACConfig, ActorCritic, ParticleHead
-    from flax import struct
-
-    class ToyEnv:
-        observation_size = 4
-        action_size = 2
-        action_low = np.full(2, -1.0)
-        action_high = np.full(2, 1.0)
-
-        @struct.dataclass
-        class S:
-            key: jax.Array
-
-        def reset(self, key):
-            return self.S(key=key), jnp.zeros(4)
-
-        def reset_batch(self, keys):
-            return jax.vmap(self.reset)(keys)
-
-        def step_autoreset(self, states, actions, keys):
-            reward = -jnp.sum((actions - 0.4) ** 2, axis=-1)
-            obs = jnp.zeros((actions.shape[0], 4))
-            done = jnp.ones(actions.shape[0], bool)
-            from pfpn_tpu.envs.deepmimic import StepResult
-            res = StepResult(states, obs, reward, done, jnp.zeros_like(done), done)
-            return self.S(key=keys), obs, res
-
-        def observe(self, s):
-            return jnp.zeros(4)
 
     env = ToyEnv()
     head = ParticleHead(action_dim=2, particles=9, resample=0)
@@ -133,6 +137,73 @@ def test_ppo_learns_on_toy_mdp():
     # deterministic action near the optimum
     a = ppo.net.act_deterministic(state.params, state.norm, jnp.zeros((1, 4)))
     np.testing.assert_allclose(np.asarray(a)[0], [0.4, 0.4], atol=0.15)
+
+
+def test_sharding_is_path_based_under_shape_collision():
+    """num_envs == a parameter dimension (32-wide actor bias): the sharding
+    spec must be derived from pytree paths, so the parameter still
+    REPLICATES and the env batch still shards (VERDICT r1 'What's weak' #3)."""
+    from jax.sharding import PartitionSpec as P
+    from pfpn_tpu.algos.ppo import PPO, PPOConfig
+    from pfpn_tpu.distributed.mesh import default_mesh, make_sharded_ppo
+    from pfpn_tpu.networks import ACConfig, ActorCritic, ParticleHead
+
+    n = min(8, len(jax.devices()))
+    mesh = default_mesh(n)
+    env = ToyEnv()
+    head = ParticleHead(action_dim=2, particles=5, resample=0)
+    net = ActorCritic(ACConfig(
+        obs_dim=4, head=head, actor_shape=(32,), critic_shape=(32,),
+        normalize_state=False, gamma=0.0, lambd=0.0,
+    ))
+    # num_envs=32 collides with the 32-wide actor layer
+    ppo = PPO(env, net, PPOConfig(num_envs=32, unroll_length=4,
+                                  minibatch_size=32, opt_epochs=1))
+    state, train_round = make_sharded_ppo(ppo, mesh, jax.random.PRNGKey(0),
+                                          donate=False)
+
+    colliding = [
+        leaf for leaf in jax.tree.leaves(state.params)
+        if leaf.ndim >= 1 and leaf.shape[0] == 32
+    ]
+    assert colliding, "test needs a param leaf with leading dim == num_envs"
+    for leaf in colliding:
+        assert leaf.sharding.is_fully_replicated
+    assert state.ep_return.sharding.spec == P("data")
+    env_leaf = jax.tree.leaves(state.env_state)[0]
+    assert env_leaf.sharding.spec[0] == "data"
+
+    state, metrics = train_round(state)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_harness_uses_virtual_mesh(tmp_path):
+    """Integration: harness.train.train() places state on the device mesh
+    when >1 device is visible, trains, checkpoints, and resumes."""
+    import dataclasses as dc
+
+    from pfpn_tpu.harness.settings import build
+    from pfpn_tpu.harness.train import train
+
+    cfg = build("deepmimic_dppo_pfpn", particles=4)
+    cfg = dc.replace(
+        cfg,
+        worker=dc.replace(cfg.worker, unroll_length=4, batch_size=4),
+        network=dc.replace(cfg.network, actor_shape=(16,), critic_shape=(16,)),
+        max_samples=10_000_000,
+        save_checkpoint_interval=1,
+    )
+    assert cfg.num_envs == 8 and cfg.minibatch_size == 32
+    state = train(cfg, root=str(tmp_path), eval_every_rounds=0,
+                  max_rounds=2, verbose=False)
+    assert int(state.total_samples) == 2 * 8 * 4
+    if len(jax.devices()) > 1:
+        assert state.ep_return.sharding.spec == (
+            jax.sharding.PartitionSpec("data"))
+    # resume: a fresh train() picks up the checkpoint and continues
+    state2 = train(cfg, root=str(tmp_path), eval_every_rounds=0,
+                   max_rounds=1, verbose=False)
+    assert int(state2.total_samples) == 3 * 8 * 4
 
 
 def test_sharded_ppo_runs_on_virtual_mesh():
