@@ -94,17 +94,10 @@ def _spd_inverse_vmap(axis_size, in_batched, a):
     if not a_batched:
         a = jnp.broadcast_to(a, (axis_size,) + a.shape)
     if jax.default_backend() == "tpu":
-        out = _newton_refine(a, _spd_inverse_pallas(a))
+        out = _spd_inverse_pallas(a)
     else:
         out = jax.vmap(_spd_inverse_reference)(a)
     return out, True
-
-
-def _newton_refine(a, x):
-    """One Newton-Schulz step X(2I - AX): squares the inverse residual."""
-    n = a.shape[-1]
-    eye2 = 2.0 * jnp.eye(n, dtype=a.dtype)
-    return x @ (eye2 - a @ x)
 
 
 @jax.custom_batching.custom_vmap
@@ -122,8 +115,11 @@ def _spd_inverse_pair_vmap(axis_size, in_batched, pair):
     b, two, n, _ = pair.shape
     flat = pair.reshape(b * two, n, n)
     if jax.default_backend() == "tpu":
+        # NOTE: no Newton-Schulz refine — measured on v5e the fp32 VPU sweep
+        # reaches ~3e-7 relative error while a refine step through the MXU's
+        # default-precision matmuls DEGRADES it to ~4e-3 (and costs ~360 us
+        # at B=1024).
         out = _spd_inverse_pallas(flat)
-        out = _newton_refine(flat, out)   # fp32 cleanup of the sweep
     else:
         out = jax.vmap(_spd_inverse_reference)(flat)
     return out.reshape(b, two, n, n), True

@@ -179,8 +179,14 @@ def point_positions(cs: ContactSet, fkr: FKResult) -> jnp.ndarray:
     return p + jnp.einsum("kij,kj->ki", R, off)
 
 
-def point_jacobians(cs: ContactSet, fkr: FKResult, x: jnp.ndarray) -> jnp.ndarray:
-    """J (np, 3, ndof): world point velocity = J @ v_generalized."""
+def point_jacobians(cs: ContactSet, fkr: FKResult, x: jnp.ndarray,
+                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """J (np, 3, ndof): world point velocity = J @ v_generalized.
+
+    `x` may be a subset of candidate points; pass the matching ancestor
+    `mask` (ndof, np) then (defaults to the full static table)."""
+    if mask is None:
+        mask = jnp.asarray(cs.ancestor_mask, dtype=jnp.float32)
     axes = jnp.einsum(
         "dij,dj->di", fkr.body_rot[cs.dof_body],
         jnp.asarray(cs.dof_axis_local, dtype=jnp.float32),
@@ -190,7 +196,7 @@ def point_jacobians(cs: ContactSet, fkr: FKResult, x: jnp.ndarray) -> jnp.ndarra
     j_rot = jnp.cross(axes[:, None, :], diff)     # (ndof, np, 3)
     is_lin = jnp.asarray(cs.dof_is_linear)[:, None, None]
     j = jnp.where(is_lin, axes[:, None, :], j_rot)
-    j = j * jnp.asarray(cs.ancestor_mask, dtype=jnp.float32)[:, :, None]
+    j = j * mask[:, :, None]
     return jnp.transpose(j, (1, 2, 0))            # (np, 3, ndof)
 
 
@@ -200,20 +206,31 @@ class ContactSolution(NamedTuple):
     link_contact: jnp.ndarray    # (nl,) bool per reference link
 
 
+class RowSet(NamedTuple):
+    """Assembled constraint rows, layout [K normals, K t1, K t2, L limits]."""
+
+    rows: jnp.ndarray            # (n_rows, ndof)
+    target: jnp.ndarray          # (n_rows,) desired constraint velocities
+    act_n: jnp.ndarray           # (K,) float contact-active mask
+    act_l: jnp.ndarray           # (max(L,1),) float limit-active mask
+    active_all: jnp.ndarray      # (np_all,) bool per candidate point
+    link_contact: jnp.ndarray    # (nl+1,) bool per reference link (+base)
+
+
 from .dynamics import f32_precision
 
 
 @f32_precision
-def solve(
+def assemble_rows(
     tree: KinematicTree,
     cs: ContactSet,
     params: ContactParams,
     fkr: FKResult,
-    h_inv: jnp.ndarray,          # (ndof, ndof) inverse mass matrix
-    v_star: jnp.ndarray,         # (ndof,) pre-constraint velocity
     q_rev: jnp.ndarray,          # (n_rev,) current revolute angles (for limits)
     dt: float,
-) -> ContactSolution:
+) -> RowSet:
+    """Everything up to (but excluding) the Delassus solve: candidate test,
+    top-K selection, constraint Jacobian rows, Baumgarte targets, masks."""
     n_pts = cs.body.shape[0]
     up = params.up_dir
 
@@ -221,21 +238,21 @@ def solve(
     dist_all = x[:, up] - jnp.asarray(cs.radius, dtype=jnp.float32)
     active_all = dist_all < 0.0
 
-    jp_all = point_jacobians(cs, fkr, x)          # (np_all, 3, ndof)
-
-    # top-K deepest candidates -> fixed-size active set
+    # top-K deepest candidates -> fixed-size active set; Jacobians are only
+    # computed for the selected points (the (ndof, np, 3) cross-product
+    # tensors dominate row-assembly bandwidth)
     if params.max_contacts is not None and params.max_contacts < n_pts:
         k = params.max_contacts
         _, sel = jax.lax.top_k(-dist_all, k)
         dist = dist_all[sel]
         active = active_all[sel]
-        jp = jp_all[sel]
+        mask_sel = jnp.asarray(cs.ancestor_mask, dtype=jnp.float32)[:, sel]
+        jp = point_jacobians(cs, fkr, x[sel], mask_sel)
         n_pts = k
     else:
-        sel = None
         dist = dist_all
         active = active_all
-        jp = jp_all
+        jp = point_jacobians(cs, fkr, x)
 
     # world-frame constraint directions for a static plane (y-up):
     #   normal = up axis; tangents = the two remaining axes (static!)
@@ -257,15 +274,56 @@ def solve(
         viol = jnp.asarray(cs.limit_sign, dtype=jnp.float32) * (
             jnp.asarray(cs.limit_value, dtype=jnp.float32) - theta
         )  # >0 when violated
-        lim_active = viol > 0.0
+        lim_active = (viol > 0.0).astype(jnp.float32)
         lim_bias = params.limit_erp / dt * jnp.maximum(viol, 0.0)
         rows = jnp.concatenate([j_n, j_t1, j_t2, j_lim], axis=0)
     else:
-        lim_active = jnp.zeros((0,), dtype=bool)
+        lim_active = jnp.zeros((1,), dtype=jnp.float32)
         lim_bias = jnp.zeros((0,))
         rows = jnp.concatenate([j_n, j_t1, j_t2], axis=0)
 
+    # desired minimum normal velocity: Baumgarte pushes penetration out
+    pen = jnp.maximum(-dist - params.slop, 0.0)
+    v_bias_n = params.erp / dt * pen
+    target = jnp.concatenate([
+        v_bias_n,
+        jnp.zeros(n_pts), jnp.zeros(n_pts),
+        lim_bias,
+    ])
+
+    # per-link contact flags use ALL candidates (termination checks must see
+    # every touching link, not just the solved set); slot nl = base link
+    nl = tree.link_pos.shape[0]
+    link_idx = np.where(cs.link < 0, nl, cs.link)
+    link_contact = jnp.zeros(nl + 1, dtype=bool).at[
+        jnp.asarray(link_idx)].max(active_all)
+
+    return RowSet(
+        rows=rows, target=target,
+        act_n=active.astype(jnp.float32), act_l=lim_active,
+        active_all=active_all, link_contact=link_contact,
+    )
+
+
+@f32_precision
+def solve(
+    tree: KinematicTree,
+    cs: ContactSet,
+    params: ContactParams,
+    fkr: FKResult,
+    h_inv: jnp.ndarray,          # (ndof, ndof) inverse mass matrix
+    v_star: jnp.ndarray,         # (ndof,) pre-constraint velocity
+    q_rev: jnp.ndarray,          # (n_rev,) current revolute angles (for limits)
+    dt: float,
+) -> ContactSolution:
+    rs = assemble_rows(tree, cs, params, fkr, q_rev, dt)
+    rows, target = rs.rows, rs.target
     n_rows = rows.shape[0]
+    n_pts = (params.max_contacts
+             if params.max_contacts is not None
+             and params.max_contacts < cs.body.shape[0]
+             else cs.body.shape[0])
+    n_lim = cs.limit_dof.shape[0]
 
     # W = H^-1 J^T via the precomputed explicit inverse; the Delassus
     # operator is applied matrix-free per iteration (A lam = J W lam) —
@@ -276,24 +334,15 @@ def solve(
     # A only steers the fixed-point iteration (impulses apply through W),
     # so single-pass precision is sufficient and 3x cheaper
     a_mat = jnp.matmul(rows, w, precision=jax.lax.Precision.DEFAULT)
-    d = jnp.diagonal(a_mat) + params.cfm
     # spectrum-safe per-row step (see ContactParams.iterations comment)
     rowsum = jnp.sum(jnp.abs(a_mat), axis=1) + params.cfm
     step = params.relaxation / jnp.maximum(rowsum, 1e-9)
 
-    # desired minimum normal velocity: Baumgarte pushes penetration out
-    pen = jnp.maximum(-dist - params.slop, 0.0)
-    v_bias_n = params.erp / dt * pen
-    target = jnp.concatenate([
-        v_bias_n,
-        jnp.zeros(n_pts), jnp.zeros(n_pts),
-        lim_bias,
-    ])
     b = rows @ v_star - target
 
-    act_n = active.astype(jnp.float32)
+    act_n = rs.act_n
     act_t = act_n
-    act_l = lim_active.astype(jnp.float32)
+    act_l = rs.act_l
     mu = params.mu
 
     def body(_, lam):
@@ -310,9 +359,5 @@ def solve(
     lam = jax.lax.fori_loop(0, params.iterations, body, jnp.zeros(n_rows))
     dv = w @ lam
 
-    # per-link contact flags use ALL candidates (termination checks must see
-    # every touching link, not just the solved set); slot nl = base link
-    nl = tree.link_pos.shape[0]
-    link_idx = np.where(cs.link < 0, nl, cs.link)
-    link_contact = jnp.zeros(nl + 1, dtype=bool).at[jnp.asarray(link_idx)].max(active_all)
-    return ContactSolution(dv=dv, penetrating=active_all, link_contact=link_contact)
+    return ContactSolution(dv=dv, penetrating=rs.active_all,
+                           link_contact=rs.link_contact)

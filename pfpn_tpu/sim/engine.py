@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..control.spd import SPDGains, clamp_torques, pd_position_torques, spd_accel
+from ..control.spd import (
+    SPDGains, clamp_torques, pd_position_torques, spd_accel, spd_errors,
+)
 from ..math import quaternion as quat
 from ..ops.linalg import spd_inverse_pair
 from . import contact as contact_mod
@@ -42,6 +44,12 @@ class EngineConfig:
     # recursion stays default. The batched path is the feedstock for a
     # future fused Pallas substep kernel.
     fast_dynamics: bool = False
+    # fuse the entire post-dynamics linear algebra (Stable-PD solve, torque
+    # clamp correction, Delassus assembly, PGS) into one Pallas kernel with
+    # the batch in the lane dimension (ops/substep_lin.py). Used for SPD
+    # control mode; identical math to the unfused path (cross-validated in
+    # tests/test_fused.py). Off on CPU automatically (custom_vmap fallback).
+    fused: bool = True
 
 
 class Engine:
@@ -61,6 +69,40 @@ class Engine:
             self.batched_tables = build_tables(tree)
         else:
             self.batched_tables = None
+        self._substep_core = None
+        if config.fused and config.control_mode == "spd" and gains is not None:
+            self._substep_core = self._build_substep_core()
+
+    def _build_substep_core(self):
+        from ..ops.substep_lin import SubstepMeta, make_substep_core
+
+        tree, cfg = self.tree, self.config
+        sph_motors, rev_motors = [], []
+        for m, b in enumerate(tree.motor_bodies):
+            d = int(tree.dof_offset[b])
+            lim = float(tree.motor_torque_limit[m])
+            if tree.joint_type[b] == REVOLUTE:
+                rev_motors.append((d, lim))
+            else:
+                sph_motors.append((d, lim))
+        n_cand = self.contact_set.body.shape[0]
+        k = (cfg.contact.max_contacts
+             if cfg.contact.max_contacts is not None
+             and cfg.contact.max_contacts < n_cand else n_cand)
+        meta = SubstepMeta(
+            ndof=tree.ndof,
+            kd=tuple(float(x) for x in self.gains.kd),
+            dt=cfg.dt,
+            sph_motors=tuple(sph_motors),
+            rev_motors=tuple(rev_motors),
+            n_contacts=int(k),
+            n_limits=int(self.contact_set.limit_dof.shape[0]),
+            mu=cfg.contact.mu,
+            cfm=cfg.contact.cfm,
+            iterations=cfg.contact.iterations,
+            relaxation=cfg.contact.relaxation,
+        )
+        return make_substep_core(meta)
 
     # -- one 600 Hz physics substep -------------------------------------
     def substep(
@@ -73,17 +115,11 @@ class Engine:
         """Advance dt. Returns (state', link_contact_flags (nl,) bool)."""
         tree, cfg = self.tree, self.config
         dt = cfg.dt
-        gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
-        if cfg.fast_dynamics:
-            from .batched import compute as batched_compute
-            bd = batched_compute(tree, self.batched_tables, state, gravity)
-            fkr, h, c, v = bd.fkr, bd.h, bd.c, bd.v
-        else:
-            fkr = fk(tree, state)
-            h = crba(tree, fkr)
-            c = rnea(tree, fkr, gravity=gravity)
-            v = pack_velocity(tree, state, fkr)
+        if self._substep_core is not None:
+            return self._substep_fused(state, target_sph, target_rev)
+
+        fkr, h, c, v = self._dynamics(state)
 
         # one fused kernel inverts both (H + diag(kd dt)) for Stable-PD and
         # H for forward dynamics + contacts (ops/linalg.py)
@@ -121,6 +157,38 @@ class Engine:
         state = advance(tree, state, fkr, v_new, dt)
         state = self._clamp_limits(state)
         return state, sol.link_contact
+
+    def _dynamics(self, state: SimState):
+        """(fkr, H, C, v) via the recursion or the level-batched path."""
+        tree, cfg = self.tree, self.config
+        gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+        if cfg.fast_dynamics:
+            from .batched import compute as batched_compute
+            bd = batched_compute(tree, self.batched_tables, state, gravity)
+            return bd.fkr, bd.h, bd.c, bd.v
+        fkr = fk(tree, state)
+        h = crba(tree, fkr)
+        c = rnea(tree, fkr, gravity=gravity)
+        v = pack_velocity(tree, state, fkr)
+        return fkr, h, c, v
+
+    def _substep_fused(self, state: SimState, target_sph, target_rev):
+        """SPD substep through the fused Pallas core (ops/substep_lin.py)."""
+        tree, cfg = self.tree, self.config
+        dt = cfg.dt
+        fkr, h, c, v = self._dynamics(state)
+        e_p, e_dp = spd_errors(tree, self.gains, state, target_sph,
+                               target_rev, dt)
+        kp = jnp.asarray(self.gains.kp, dtype=jnp.float32)
+        kd = jnp.asarray(self.gains.kd, dtype=jnp.float32)
+        kpe = kp * e_p + kd * e_dp
+        rs = contact_mod.assemble_rows(
+            tree, self.contact_set, cfg.contact, fkr, state.q_rev, dt)
+        v_new = self._substep_core(
+            h, kpe - c, kpe, v, rs.rows, rs.target, rs.act_n, rs.act_l)
+        state = advance(tree, state, fkr, v_new, dt)
+        state = self._clamp_limits(state)
+        return state, rs.link_contact
 
     def _clamp_limits(self, state: SimState) -> SimState:
         # safety clamp on revolute limits (impulse rows handle dynamics;

@@ -144,6 +144,118 @@ def main():
         timed_scan("spd_inverse_pair (2 NxN inverses)", inv_body, pair0, iters,
                    lambda c: jnp.sum(c[:, 0, 0, 0]))
 
+    # ---- fused kernel alone -------------------------------------------------
+    if want("fusedcore"):
+        from pfpn_tpu.control.spd import spd_errors
+
+        core = eng._substep_core
+        assert core is not None
+
+        def mk_args(s):
+            fkr = fk(tree, s)
+            h = crba(tree, fkr)
+            c = rnea(tree, fkr, gravity=gravity)
+            v = pack_velocity(tree, s, fkr)
+            ts = jnp.zeros((tree.n_sph, 4)).at[:, 3].set(1.0)
+            tr = jnp.zeros((tree.n_rev,))
+            e_p, e_dp = spd_errors(tree, eng.gains, s, ts, tr, eng.config.dt)
+            kp = jnp.asarray(eng.gains.kp, jnp.float32)
+            kd = jnp.asarray(eng.gains.kd, jnp.float32)
+            kpe = kp * e_p + kd * e_dp
+            rs = contact_mod.assemble_rows(
+                tree, eng.contact_set, eng.config.contact, fkr, s.q_rev,
+                eng.config.dt)
+            return (h, kpe - c, kpe, v, rs.rows, rs.target, rs.act_n,
+                    rs.act_l)
+
+        args0 = jax.jit(jax.vmap(mk_args))(sim0)
+
+        def core_body(args):
+            v_new = jax.vmap(core)(*args)
+            h = args[0] + 1e-9 * v_new[:, :, None] * v_new[:, None, :]
+            return (h,) + args[1:]
+        timed_scan("fused kernel alone", core_body, args0, iters,
+                   lambda c: jnp.sum(c[0][:, 0, 0]))
+
+    if want("transposes"):
+        def tr_body(args):
+            h, f, kpe, v, rows, target, act_n, act_l = args
+            outs = [jnp.transpose(h, (1, 2, 0)), jnp.transpose(f, (1, 0)),
+                    jnp.transpose(kpe, (1, 0)), jnp.transpose(v, (1, 0)),
+                    jnp.transpose(rows, (1, 2, 0)),
+                    jnp.transpose(target, (1, 0)),
+                    jnp.transpose(act_n, (1, 0)), jnp.transpose(act_l, (1, 0))]
+            s = sum(jnp.sum(o) * 1e-12 for o in outs)
+            h = h + s
+            return (h, f, kpe, v, rows, target, act_n, act_l)
+        from pfpn_tpu.control.spd import spd_errors as _se  # noqa: F401
+        core = eng._substep_core
+        assert core is not None
+
+        def mk_args(s):
+            fkr = fk(tree, s)
+            h = crba(tree, fkr)
+            c = rnea(tree, fkr, gravity=gravity)
+            v = pack_velocity(tree, s, fkr)
+            ts = jnp.zeros((tree.n_sph, 4)).at[:, 3].set(1.0)
+            tr = jnp.zeros((tree.n_rev,))
+            from pfpn_tpu.control.spd import spd_errors
+            e_p, e_dp = spd_errors(tree, eng.gains, s, ts, tr, eng.config.dt)
+            kp = jnp.asarray(eng.gains.kp, jnp.float32)
+            kd = jnp.asarray(eng.gains.kd, jnp.float32)
+            kpe = kp * e_p + kd * e_dp
+            rs = contact_mod.assemble_rows(
+                tree, eng.contact_set, eng.config.contact, fkr, s.q_rev,
+                eng.config.dt)
+            return (h, kpe - c, kpe, v, rs.rows, rs.target, rs.act_n,
+                    rs.act_l)
+        args0 = jax.jit(jax.vmap(mk_args))(sim0)
+        timed_scan("lane-layout transposes", tr_body, args0, iters,
+                   lambda c: jnp.sum(c[0][:, 0, 0]))
+
+    # ---- row assembly ---------------------------------------------------------
+    if want("rows"):
+        def rows_body(st):
+            def one(s):
+                fkr = fk(tree, s)
+                rs = contact_mod.assemble_rows(
+                    tree, eng.contact_set, eng.config.contact, fkr, s.q_rev,
+                    eng.config.dt)
+                return rs.rows
+            rr = jax.vmap(one)(st)
+            return jiggle(st, rr)
+        timed_scan("fk + assemble_rows", rows_body, sim0, iters,
+                   lambda c: jnp.sum(c.base_pos))
+
+    # ---- advance + spd_errors (the elementwise quaternion soup) -------------
+    if want("advance"):
+        from pfpn_tpu.sim.dynamics import advance
+
+        def adv_body(st):
+            def one(s):
+                fkr = fk(tree, s)
+                v = pack_velocity(tree, s, fkr)
+                return advance(tree, s, fkr, v * 0.999, eng.config.dt)
+            st2 = jax.vmap(one)(st)
+            return st2
+        timed_scan("fk + pack + advance", adv_body, sim0, iters,
+                   lambda c: jnp.sum(c.base_pos))
+
+    if want("spderr"):
+        from pfpn_tpu.control.spd import spd_errors
+
+        def spd_body(st):
+            def one(s):
+                ts = jnp.zeros((tree.n_sph, 4)).at[:, 3].set(1.0)
+                tr = jnp.zeros((tree.n_rev,))
+                e_p, e_dp = spd_errors(tree, eng.gains, s, ts, tr,
+                                       eng.config.dt)
+                return e_p + e_dp
+            e = jax.vmap(one)(st)
+            return jiggle(st, e)
+        timed_scan("spd_errors", spd_body, sim0, iters,
+                   lambda c: jnp.sum(c.base_pos))
+
     # ---- contact solve -----------------------------------------------------
     if want("contact"):
         def con_body(st):
