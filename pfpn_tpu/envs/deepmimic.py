@@ -255,22 +255,44 @@ class DeepMimicEnv:
         t_sph, t_rev, torques = self._action_to_targets(action)
         duration = self.motion.duration
 
-        def substep(carry, _):
-            sim, elapsed, off = carry
-            sim, link_contact = self.engine.substep(sim, t_sph, t_rev, torques)
-            new_elapsed = elapsed + self.dt
-            # phase wrap -> re-sync reference root to simulated root
-            # (deepmimic.py:536-541)
-            wrapped = jnp.mod(new_elapsed, duration) < jnp.mod(elapsed, duration)
-            new_off = sync_position_offset(self.motion, new_elapsed, sim.base_pos, UP)
-            off = jnp.where(wrapped, new_off, off)
-            return (sim, new_elapsed, off), link_contact
+        if self.engine.mega is not None and torques is None:
+            # one fused kernel for the whole control step (ops/megastep.py);
+            # the phase-wrap re-sync (deepmimic.py:536-541) is reconstructed
+            # from the per-substep base-position history: the wrap happens at
+            # most once per control step, at a closed-form substep index
+            sim, active, hist = self.engine.control_step_full(
+                state.sim, t_sph, t_rev)
+            last_contact = self.engine.link_contact_from_active(active)
+            e0 = state.elapsed_time
+            elapsed = e0 + self.frame_skip * self.dt
+            n1 = jnp.floor(elapsed / duration)
+            wrapped_any = n1 > jnp.floor(e0 / duration)
+            t_wrap = n1 * duration
+            s_star = jnp.clip(
+                jnp.ceil((t_wrap - e0) / self.dt - 1e-6).astype(jnp.int32) - 1,
+                0, self.frame_skip - 1,
+            )
+            e_star = e0 + (s_star + 1).astype(jnp.float32) * self.dt
+            new_off = sync_position_offset(
+                self.motion, e_star, hist[s_star], UP)
+            off = jnp.where(wrapped_any, new_off, state.ref_pos_offset)
+        else:
+            def substep(carry, _):
+                sim, elapsed, off = carry
+                sim, link_contact = self.engine.substep(sim, t_sph, t_rev, torques)
+                new_elapsed = elapsed + self.dt
+                # phase wrap -> re-sync reference root to simulated root
+                # (deepmimic.py:536-541)
+                wrapped = jnp.mod(new_elapsed, duration) < jnp.mod(elapsed, duration)
+                new_off = sync_position_offset(self.motion, new_elapsed, sim.base_pos, UP)
+                off = jnp.where(wrapped, new_off, off)
+                return (sim, new_elapsed, off), link_contact
 
-        (sim, elapsed, off), contacts = jax.lax.scan(
-            substep, (state.sim, state.elapsed_time, state.ref_pos_offset),
-            None, length=self.frame_skip,
-        )
-        last_contact = contacts[-1]
+            (sim, elapsed, off), contacts = jax.lax.scan(
+                substep, (state.sim, state.elapsed_time, state.ref_pos_offset),
+                None, length=self.frame_skip,
+            )
+            last_contact = contacts[-1]
 
         state = EnvState(
             sim=sim, elapsed_time=elapsed,

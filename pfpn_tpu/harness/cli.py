@@ -62,7 +62,7 @@ def main(argv=None):
         from .train import train
         train(cfg, root=args.root,
               eval_every_rounds=args.eval_every_rounds,
-              max_rounds=args.max_rounds)
+              max_rounds=args.max_rounds, debug=args.debug)
     else:
         from .eval import visualize
         visualize(cfg, root=args.root)

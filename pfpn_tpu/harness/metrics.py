@@ -29,6 +29,28 @@ class MetricsLogger:
         except Exception:
             pass
 
+    def log_histograms(self, step: int, arrays: Dict[str, "object"],
+                       prefix: str = ""):
+        """Histogram summaries (reference models/utils.py:17-31 reflects any
+        non-scalar `summaries` entry into a histogram; the reference logs
+        per-dimension particle locations/stds and continuous actions,
+        a2c.py:336-344). JSONL records percentiles; TB gets the full
+        histogram."""
+        import numpy as np
+
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in arrays.items():
+            arr = np.asarray(v).reshape(-1)
+            if arr.size == 0:
+                continue
+            key = f"{prefix}{k}"
+            rec[f"{key}/p5"], rec[f"{key}/p50"], rec[f"{key}/p95"] = (
+                float(x) for x in np.percentile(arr, [5, 50, 95]))
+            if self._tb is not None:
+                self._tb.add_histogram(key, arr, int(step))
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():

@@ -23,7 +23,8 @@ from .metrics import MetricsLogger
 
 def train(cfg: RunConfig, root: str = ".",
           eval_every_rounds: int = 50, eval_episodes: int = 10,
-          max_rounds: Optional[int] = None, verbose: bool = True):
+          max_rounds: Optional[int] = None, verbose: bool = True,
+          debug: bool = False):
     """Train to cfg.max_samples; resume from the latest checkpoint if any.
 
     Uses every visible device: with >1 device the state is placed on a
@@ -51,7 +52,11 @@ def train(cfg: RunConfig, root: str = ".",
             print(f"[SYSTEM] data-parallel mesh over {n_dev} devices "
                   f"({num_envs // n_dev} envs/device)", flush=True)
 
-    logger = MetricsLogger(cfg.log_dir(root))
+    # --debug lifts the 10 s console throttle (reference `--debug all`
+    # enables logging beyond the chief, distributed_model.py:587 — here the
+    # analog is per-round instead of per-10 s console output)
+    logger = MetricsLogger(cfg.log_dir(root),
+                           console_interval=0.0 if debug else 10.0)
     train_round = jax.jit(algo.train_round)  # argument donation is broken on the axon tunnel backend
     evaluate = jax.jit(
         lambda p, n, k: algo.evaluate(p, n, k, num_episodes=eval_episodes)
@@ -104,6 +109,24 @@ def train(cfg: RunConfig, root: str = ".",
                       f"(avg {reward_avg:.2f} min {rew.min():.2f} "
                       f"max {rew.max():.2f}) "
                       f"frames {frames.mean():.0f}", flush=True)
+            # per-dimension particle/action histograms (reference
+            # a2c.py:336-344 via models/utils.py:17-31)
+            hists = {}
+            head = (state.params.get("head", {})
+                    if isinstance(state.params, dict) else {})
+            if "particles" in head:
+                hists["particle/loc"] = np.asarray(head["particles"])
+                ls = head.get("particles_log_std",
+                              head.get("particles_log_std_fixed"))
+                if ls is not None:
+                    hists["particle/std"] = np.exp(np.asarray(ls))
+            try:
+                hists["action"] = np.asarray(algo.net.act_deterministic(
+                    state.params, state.norm, state.obs))
+            except Exception:
+                pass
+            if hists:
+                logger.log_histograms(step, hists, prefix="train/")
 
         if step - last_ckpt_step >= cfg.save_checkpoint_interval:
             ckpt.save(step, state)

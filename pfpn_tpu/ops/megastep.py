@@ -1,0 +1,984 @@
+"""The whole 30 Hz control step as ONE Pallas kernel ("megastep").
+
+After fusing the substep linear algebra (ops/substep_lin.py) the remaining
+cost was XLA itself: the FK/quaternion/scatter soup compiles to ~500 kernel
+launches per substep (HLO-verified), each costing ~3-20 us of launch/fusion
+overhead at B=1024 — far more than its arithmetic. This module moves the
+ENTIRE physics substep into the kernel and loops the 20 substeps of a
+control step with an in-kernel ``fori_loop`` so state never leaves VMEM:
+
+  per substep (all per-lane, batch in the lane dimension):
+    FK          quaternion recursion over the (static) tree
+    H           composite world-origin inertias: H[d,e] = col_d . IC_b col_e
+                over the static ancestor-pair sparsity (CRBA identity)
+    C           fixed-frame Featherstone bias: vhat/accel recursions +
+                composite force sums (identical to sim/batched.py's math,
+                which is cross-validated against the body-frame recursion)
+    SPD         one-step-predicted errors, (H + diag(kd dt))^-1 solve,
+                per-motor torque clamp correction (control/spd.py semantics)
+    contacts    candidate points vs ground plane, top-K selection by
+                iterative argmin (static tie-break epsilons), constraint
+                rows, Gershgorin-stepped projected Gauss-Seidel with the
+                friction cone (sim/contact.py semantics)
+    integrate   semi-implicit Euler with exp-map quaternion updates,
+                +-100 velocity cap, revolute limit clamps (dynamics.advance)
+
+Outputs: final state, last-substep candidate contact flags (Bullet
+getContactPoints semantics: reference deepmimic.py:545-546), and the
+per-substep base-position history (for the phase-wrap reference re-sync,
+reference deepmimic.py:536-541, which needs the root position at the wrap
+substep).
+
+The public entry :func:`make_megastep` is a ``custom_vmap``: unbatched it
+runs the plain engine substep loop (CPU/tests); batched on TPU it runs the
+kernel. All static tree data is baked in as Python literals (Pallas kernels
+cannot capture array constants); the two mask tables that are genuinely 2-D
+(body ancestor masks, candidate ancestor masks) are passed as tiny inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128
+F3 = Tuple[float, float, float]
+F4 = Tuple[float, float, float, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class MegaMeta:
+    # sizes
+    ndof: int
+    nb: int
+    n_sph: int
+    n_rev: int
+    n_cand: int
+    n_contacts: int          # K (top-K selected)
+    n_lim: int
+    frame_skip: int
+    dt: float
+    gravity: F3
+    # tree (all static tuples; bodies are listed parents-first in `topo`)
+    topo: Tuple[int, ...]
+    parent: Tuple[int, ...]
+    jtype: Tuple[int, ...]            # 0 free, 1 spherical, 2 revolute
+    joint_pos: Tuple[F3, ...]
+    joint_quat: Tuple[F4, ...]
+    joint_axis: Tuple[F3, ...]
+    sph_index: Tuple[int, ...]
+    rev_index: Tuple[int, ...]
+    dof_offset: Tuple[int, ...]
+    dof_count: Tuple[int, ...]
+    mass: Tuple[float, ...]
+    com: Tuple[F3, ...]               # CoM offset in body frame
+    inertia_c: Tuple[Tuple[float, ...], ...]   # (nb, 9) rot inertia about CoM
+    # dof tables (length ndof)
+    dof_body: Tuple[int, ...]
+    dof_axis: Tuple[F3, ...]          # local axis
+    dof_is_linear: Tuple[bool, ...]
+    # SPD gains / motors
+    kp: Tuple[float, ...]
+    kd: Tuple[float, ...]
+    sph_motors: Tuple[Tuple[int, float, int], ...]   # (dof, limit, sph_idx)
+    rev_motors: Tuple[Tuple[int, float, int], ...]   # (dof, limit, rev_idx)
+    rev_limits: Tuple[Tuple[int, float, float], ...]  # (rev_idx, lo, hi)
+    # contact candidates
+    cand_body: Tuple[int, ...]
+    cand_off: Tuple[F3, ...]
+    cand_radius: Tuple[float, ...]
+    # limit rows: (dof, rev_idx, value, sign)
+    lim_rows: Tuple[Tuple[int, int, float, float], ...]
+    # contact params
+    mu: float
+    erp: float
+    slop: float
+    iterations: int
+    relaxation: float
+    cfm: float
+    limit_erp: float
+    up: int = 1
+    eps: float = 1e-8
+
+    # ---- state row layout -------------------------------------------------
+    @property
+    def rows_state(self) -> int:
+        return 13 + 7 * self.n_sph + 2 * self.n_rev
+
+    @property
+    def n_rows(self) -> int:
+        return 3 * self.n_contacts + self.n_lim
+
+    def row_q_sph(self, s):  # 4 rows
+        return 13 + 4 * s
+
+    def row_w_sph(self, s):  # 3 rows
+        return 13 + 4 * self.n_sph + 3 * s
+
+    def row_q_rev(self, r):
+        return 13 + 7 * self.n_sph + r
+
+    def row_w_rev(self, r):
+        return 13 + 7 * self.n_sph + self.n_rev + r
+
+
+def build_meta(tree, gains, contact_params, contact_set, dt, frame_skip,
+               gravity) -> MegaMeta:
+    """Assemble a MegaMeta from the engine's static structures."""
+    from ..sim.types import FREE, REVOLUTE, SPHERICAL
+
+    nb = tree.nb
+    # topo order: bodies with parents before children
+    topo, seen = [], {-1}
+    pending = list(range(nb))
+    while pending:
+        nxt = [b for b in pending if int(tree.parent[b]) in seen]
+        assert nxt, "kinematic tree has a cycle?"
+        for b in nxt:
+            seen.add(b)
+        topo += nxt
+        pending = [b for b in pending if b not in seen]
+    assert topo[0] == 0
+
+    def t3(a):
+        return tuple(float(x) for x in np.asarray(a).reshape(-1)[:3])
+
+    inertia_c = []
+    for b in range(nb):
+        m = float(tree.mass[b])
+        c = np.asarray(tree.com[b])
+        i_o = np.asarray(tree.spatial_inertia[b])[:3, :3]
+        cx = np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0]])
+        i_c = i_o - m * cx @ cx.T
+        inertia_c.append(tuple(float(x) for x in i_c.reshape(-1)))
+
+    jt_map = {FREE: 0, SPHERICAL: 1, REVOLUTE: 2}
+
+    sph_motors, rev_motors, rev_limits = [], [], []
+    for mi, b in enumerate(tree.motor_bodies):
+        d = int(tree.dof_offset[b])
+        lim = float(tree.motor_torque_limit[mi])
+        if tree.joint_type[b] == REVOLUTE:
+            rev_motors.append((d, lim, int(tree.rev_index[b])))
+            lo, hi = tree.motor_movement_limit[mi]
+            if hi > lo:
+                rev_limits.append((int(tree.rev_index[b]), float(lo), float(hi)))
+        else:
+            sph_motors.append((d, lim, int(tree.sph_index[b])))
+
+    cs = contact_set
+    lim_rows = tuple(
+        (int(cs.limit_dof[i]), int(cs.limit_rev[i]),
+         float(cs.limit_value[i]), float(cs.limit_sign[i]))
+        for i in range(cs.limit_dof.shape[0])
+    )
+
+    n_cand = int(cs.body.shape[0])
+    k = contact_params.max_contacts
+    k = n_cand if (k is None or k >= n_cand) else int(k)
+
+    return MegaMeta(
+        ndof=tree.ndof, nb=nb, n_sph=tree.n_sph, n_rev=tree.n_rev,
+        n_cand=n_cand, n_contacts=k, n_lim=len(lim_rows),
+        frame_skip=frame_skip, dt=dt, gravity=t3(gravity),
+        topo=tuple(topo[1:]),
+        parent=tuple(int(x) for x in tree.parent),
+        jtype=tuple(jt_map.get(t, -1) for t in tree.joint_type),
+        joint_pos=tuple(t3(tree.joint_pos[b]) for b in range(nb)),
+        joint_quat=tuple(tuple(float(x) for x in tree.joint_quat[b])
+                         for b in range(nb)),
+        joint_axis=tuple(t3(tree.joint_axis[b]) for b in range(nb)),
+        sph_index=tuple(int(x) for x in tree.sph_index),
+        rev_index=tuple(int(x) for x in tree.rev_index),
+        dof_offset=tuple(int(x) for x in tree.dof_offset),
+        dof_count=tuple(int(x) for x in tree.dof_count),
+        mass=tuple(float(x) for x in tree.mass),
+        com=tuple(t3(tree.com[b]) for b in range(nb)),
+        inertia_c=tuple(inertia_c),
+        dof_body=tuple(int(x) for x in cs.dof_body),
+        dof_axis=tuple(t3(cs.dof_axis_local[d]) for d in range(tree.ndof)),
+        dof_is_linear=tuple(bool(x) for x in cs.dof_is_linear),
+        kp=tuple(float(x) for x in gains.kp),
+        kd=tuple(float(x) for x in gains.kd),
+        sph_motors=tuple(sph_motors), rev_motors=tuple(rev_motors),
+        rev_limits=tuple(rev_limits),
+        cand_body=tuple(int(x) for x in cs.body),
+        cand_off=tuple(t3(cs.offset[c]) for c in range(n_cand)),
+        cand_radius=tuple(float(x) for x in cs.radius),
+        lim_rows=lim_rows,
+        mu=contact_params.mu, erp=contact_params.erp,
+        slop=contact_params.slop, iterations=contact_params.iterations,
+        relaxation=contact_params.relaxation, cfm=contact_params.cfm,
+        limit_erp=contact_params.limit_erp, up=contact_params.up_dir,
+    )
+
+
+# ---------------------------------------------------------------------------
+# packing helpers (state pytree <-> (rows_state, B) matrix)
+# ---------------------------------------------------------------------------
+
+def pack_state(meta: MegaMeta, state) -> jnp.ndarray:
+    """SimState (possibly batched on axis 0) -> (..., rows_state) matrix."""
+    parts = [state.base_quat, state.base_pos, state.base_ang, state.base_lin]
+    parts.append(state.q_sph.reshape(state.q_sph.shape[:-2] + (-1,)))
+    parts.append(state.w_sph.reshape(state.w_sph.shape[:-2] + (-1,)))
+    parts.append(state.q_rev)
+    parts.append(state.w_rev)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_state(meta: MegaMeta, mat: jnp.ndarray, template):
+    s, r = meta.n_sph, meta.n_rev
+    lead = mat.shape[:-1]
+    i = 13
+    return template.replace(
+        base_quat=mat[..., 0:4], base_pos=mat[..., 4:7],
+        base_ang=mat[..., 7:10], base_lin=mat[..., 10:13],
+        q_sph=mat[..., i:i + 4 * s].reshape(lead + (s, 4)),
+        w_sph=mat[..., i + 4 * s:i + 7 * s].reshape(lead + (s, 3)),
+        q_rev=mat[..., i + 7 * s:i + 7 * s + r],
+        w_rev=mat[..., i + 7 * s + r:i + 7 * s + 2 * r],
+    )
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(meta: MegaMeta):
+    m = meta
+    n = m.ndof
+    K = m.n_contacts
+    R = m.n_rows
+    dt = m.dt
+    up = m.up
+    t1x, t2x = [a for a in (0, 1, 2) if a != up]
+
+    # ---- tiny (1, T) algebra helpers -------------------------------------
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def qmul(q1, q2):
+        x1, y1, z1, w1 = q1
+        x2, y2, z2, w2 = q2
+        return (w2 * x1 + x2 * w1 - y2 * z1 + z2 * y1,
+                w2 * y1 + x2 * z1 + y2 * w1 - z2 * x1,
+                w2 * z1 - x2 * y1 + y2 * x1 + z2 * w1,
+                w2 * w1 - x2 * x1 - y2 * y1 - z2 * z1)
+
+    def qmul_static(jq, q2):
+        """(static 4-floats) * (traced quat)."""
+        x1, y1, z1, w1 = jq
+        x2, y2, z2, w2 = q2
+        return (w2 * x1 + x2 * w1 - y2 * z1 + z2 * y1,
+                w2 * y1 + x2 * z1 + y2 * w1 - z2 * x1,
+                w2 * z1 - x2 * y1 + y2 * x1 + z2 * w1,
+                w2 * w1 - x2 * x1 - y2 * y1 - z2 * z1)
+
+    def qnormalize(q):
+        nn = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+        inv = 1.0 / jnp.maximum(nn, 1e-8)
+        return (q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv)
+
+    def q2R(q):
+        x, y, z, w = q
+        xx, yy, zz = x * x, y * y, z * z
+        xy, xz, yz = x * y, x * z, y * z
+        wx, wy, wz = w * x, w * y, w * z
+        return ((1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)),
+                (2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)),
+                (2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)))
+
+    def Rv(Rm, v):
+        return tuple(Rm[i][0] * v[0] + Rm[i][1] * v[1] + Rm[i][2] * v[2]
+                     for i in range(3))
+
+    def Rtv(Rm, v):
+        return tuple(Rm[0][i] * v[0] + Rm[1][i] * v[1] + Rm[2][i] * v[2]
+                     for i in range(3))
+
+    def Rv_static(Rm, v):
+        """R @ static 3-vector (skips zero terms)."""
+        out = []
+        for i in range(3):
+            acc = None
+            for j in range(3):
+                if v[j] != 0.0:
+                    term = Rm[i][j] * v[j]
+                    acc = term if acc is None else acc + term
+            out.append(acc if acc is not None else jnp.zeros_like(Rm[0][0]))
+        return tuple(out)
+
+    def qexp_scaled(w, scale):
+        """exp map of (w * scale): w is a 3-tuple of (1,T)."""
+        v = tuple(wi * scale for wi in w)
+        ang = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+        half = 0.5 * ang
+        k = jnp.where(ang > 1e-6, jnp.sin(half) / jnp.maximum(ang, 1e-8), 0.5)
+        return (v[0] * k, v[1] * k, v[2] * k, jnp.cos(half))
+
+    def atan_poly(u):
+        """Minimax arctan on [0, 1] (~1e-6 rad; Mosaic has no atan2)."""
+        u2 = u * u
+        return u * (0.99997726 + u2 * (-0.33262347 + u2 * (
+            0.19354346 + u2 * (-0.11643287 + u2 * (
+                0.05265332 + u2 * -0.01172120)))))
+
+    def q_axis_angle(q):
+        """Shortest-path axis*angle (3-tuple) of quat (math/quaternion.py).
+
+        After the sign fix both s = |v| and w are >= 0, so
+        atan2(s, w) = atan(s/w) or pi/2 - atan(w/s)."""
+        sgn = jnp.where(q[3] < 0, -1.0, 1.0)
+        x, y, z, w = q[0] * sgn, q[1] * sgn, q[2] * sgn, q[3] * sgn
+        s = jnp.sqrt(x * x + y * y + z * z)
+        wc = jnp.clip(w, 0.0, 1.0)
+        mx = jnp.maximum(s, wc)
+        mn = jnp.minimum(s, wc)
+        r = atan_poly(mn / jnp.maximum(mx, 1e-20))
+        half = jnp.where(s > wc, (np.pi / 2.0) - r, r)
+        ang = 2.0 * half
+        k = jnp.where(s > 1e-8, ang / jnp.maximum(s, 1e-8), 0.0)
+        return (x * k, y * k, z * k)
+
+    def sum_static(Rm, i, ic, j):
+        """(R @ I_c)[i][j] with I_c static 9 floats (row-major)."""
+        acc = None
+        for k3 in range(3):
+            cof = ic[3 * k3 + j]
+            if cof != 0.0:
+                term = Rm[i][k3] * cof
+                acc = term if acc is None else acc + term
+        return acc if acc is not None else jnp.zeros_like(Rm[0][0])
+
+    kd_dt = [kdv * dt for kdv in m.kd]
+
+    def kernel(st_ref, tgt_sph_ref, tgt_rev_ref, cmask_ref,
+               st_out, act_out, hist_out,
+               minv_scr, hinv_scr, rows_scr, w_scr, a_scr):
+        t = st_ref.shape[-1]
+        zero1 = jnp.zeros((1, t), dtype=jnp.float32)
+
+        def r1(ref, i):
+            return ref[i:i + 1, :]
+
+        tgt_sph = [tuple(r1(tgt_sph_ref, 4 * s + c) for c in range(4))
+                   for s in range(m.n_sph)]
+        tgt_rev = [r1(tgt_rev_ref, r) for r in range(m.n_rev)]
+
+        def substep(step_i, carry):
+            st, act_prev = carry
+
+            def srow(i):
+                return st[i:i + 1, :]
+
+            base_quat = tuple(srow(i) for i in range(4))
+            base_pos = tuple(srow(4 + i) for i in range(3))
+            base_ang = tuple(srow(7 + i) for i in range(3))
+            base_lin = tuple(srow(10 + i) for i in range(3))
+            q_sph = [tuple(srow(m.row_q_sph(s) + c) for c in range(4))
+                     for s in range(m.n_sph)]
+            w_sph = [tuple(srow(m.row_w_sph(s) + c) for c in range(3))
+                     for s in range(m.n_sph)]
+            q_rev = [srow(m.row_q_rev(r)) for r in range(m.n_rev)]
+            w_rev = [srow(m.row_w_rev(r)) for r in range(m.n_rev)]
+
+            # ================= FK =================
+            q_w = [None] * m.nb
+            p_w = [None] * m.nb
+            R_w = [None] * m.nb
+            q_w[0] = base_quat
+            p_w[0] = base_pos
+            R_w[0] = q2R(base_quat)
+            for b in m.topo:
+                p = m.parent[b]
+                if m.jtype[b] == 1:
+                    qj = q_sph[m.sph_index[b]]
+                elif m.jtype[b] == 2:
+                    ax = m.joint_axis[b]
+                    half = 0.5 * q_rev[m.rev_index[b]]
+                    sh, ch = jnp.sin(half), jnp.cos(half)
+                    qj = (ax[0] * sh, ax[1] * sh, ax[2] * sh, ch)
+                else:
+                    raise AssertionError
+                rel = qmul_static(m.joint_quat[b], qj)
+                q_w[b] = qnormalize(qmul(q_w[p], rel))
+                R_w[b] = q2R(q_w[b])
+                off = Rv_static(R_w[p], m.joint_pos[b])
+                p_w[b] = tuple(p_w[p][i] + off[i] for i in range(3))
+
+            # ============ generalized velocity (rows list) ============
+            v_rows = [None] * n
+            wb = Rtv(R_w[0], base_ang)     # body-frame base angular
+            lb = Rtv(R_w[0], base_lin)
+            for i in range(3):
+                v_rows[i] = wb[i]
+                v_rows[3 + i] = lb[i]
+            for b in range(1, m.nb):
+                d = m.dof_offset[b]
+                if m.jtype[b] == 1:
+                    ws = w_sph[m.sph_index[b]]
+                    for c in range(3):
+                        v_rows[d + c] = ws[c]
+                else:
+                    v_rows[d] = w_rev[m.rev_index[b]]
+            v_mat = jnp.concatenate(v_rows, axis=0)          # (n, T)
+
+            # ============ world-origin jacobian columns ============
+            # world axis per dof; cols: rotational [a; p x a], linear [0; a]
+            col_ang = [None] * n
+            col_lin = [None] * n
+            anchor = [None] * n
+            waxis = [None] * n
+            for d in range(n):
+                b = m.dof_body[d]
+                a_w = Rv_static(R_w[b], m.dof_axis[d])
+                waxis[d] = a_w
+                anchor[d] = p_w[b]
+                if m.dof_is_linear[d]:
+                    col_ang[d] = (zero1, zero1, zero1)
+                    col_lin[d] = a_w
+                else:
+                    col_ang[d] = a_w
+                    col_lin[d] = cross(p_w[b], a_w)
+
+            # ============ per-body world-origin spatial inertia ============
+            # I_O = [[I_cw + m cx cx^T, m cx], [-m cx, m 1]] (ang;lin coords)
+            io = [None] * m.nb
+            for b in range(m.nb):
+                mass = m.mass[b]
+                cw = tuple(p_w[b][i] + Rv_static(R_w[b], m.com[b])[i]
+                           for i in range(3))
+                # I_cw = R I_c R^T
+                ic = m.inertia_c[b]
+                RI = [[sum_static(R_w[b], i, ic, j) for j in range(3)]
+                      for i in range(3)]
+                icw = [[RI[i][0] * R_w[b][j][0] + RI[i][1] * R_w[b][j][1]
+                        + RI[i][2] * R_w[b][j][2] for j in range(3)]
+                       for i in range(3)]
+                cx = ((zero1, -cw[2], cw[1]),
+                      (cw[2], zero1, -cw[0]),
+                      (-cw[1], cw[0], zero1))
+                blk = [[None] * 6 for _ in range(6)]
+                for i in range(3):
+                    for j in range(3):
+                        # cx cx^T = cx @ cx.T
+                        cct = (cx[i][0] * cx[j][0] + cx[i][1] * cx[j][1]
+                               + cx[i][2] * cx[j][2])
+                        blk[i][j] = icw[i][j] + mass * cct
+                        blk[i][3 + j] = mass * cx[i][j]
+                        blk[3 + i][j] = -mass * cx[i][j]
+                        blk[3 + i][3 + j] = (
+                            jnp.full((1, t), mass, jnp.float32)
+                            if i == j else zero1)
+                io[b] = blk
+
+            # composite inertias (reverse topo)
+            ic_comp = [[[io[b][r][c] for c in range(6)] for r in range(6)]
+                       for b in range(m.nb)]
+            for b in reversed(m.topo):
+                p = m.parent[b]
+                for r in range(6):
+                    for c in range(6):
+                        ic_comp[p][r][c] = ic_comp[p][r][c] + ic_comp[b][r][c]
+
+            # ============ H via CRBA identity on static sparsity ============
+            minv_scr[...] = jnp.zeros((n, n, t), jnp.float32)
+            # Y_e = IC_{body(e)} @ col_e ; H[d, e] = col_d . Y_e for d anc(e)
+            anc_dofs = _ancestor_dofs(m)
+            for e in range(n):
+                be = m.dof_body[e]
+                ce = col_ang[e] + col_lin[e]
+                y = [None] * 6
+                icb = ic_comp[be]
+                for r6 in range(6):
+                    acc = None
+                    for c6 in range(6):
+                        term = icb[r6][c6] * ce[c6]
+                        acc = term if acc is None else acc + term
+                    y[r6] = acc
+                for d in anc_dofs[e]:
+                    cd = col_ang[d] + col_lin[d]
+                    h_de = sum(cd[r6] * y[r6] for r6 in range(6))
+                    minv_scr[d, e, :] = h_de[0]
+                    if d != e:
+                        minv_scr[e, d, :] = h_de[0]
+            # copy H into hinv scratch before regularizing
+            hinv_scr[...] = minv_scr[...]
+
+            # ============ C: fixed-frame bias recursion ============
+            # vhat_0 from base: [w_world; v at world origin]
+            vhat = [None] * m.nb
+            # v(O) = v(p) + w x (O - p) = base_lin + p x w
+            pxw = cross(base_pos, base_ang)
+            vhat[0] = (base_ang[0], base_ang[1], base_ang[2],
+                       base_lin[0] + pxw[0],
+                       base_lin[1] + pxw[1],
+                       base_lin[2] + pxw[2])
+            for b in m.topo:
+                p = m.parent[b]
+                d = m.dof_offset[b]
+                add = [zero1] * 6
+                for c in range(m.dof_count[b]):
+                    cd = col_ang[d + c] + col_lin[d + c]
+                    for r6 in range(6):
+                        add[r6] = add[r6] + cd[r6] * v_rows[d + c]
+                vhat[b] = tuple(vhat[p][r6] + add[r6] for r6 in range(6))
+
+            # bias accel: a_b = a_p + crm(vhat_b) (vhat_b - vhat_p)
+            def crm6(v6, u6):
+                w_, l_ = v6[:3], v6[3:]
+                uw, ul = u6[:3], u6[3:]
+                cw = cross(w_, uw)
+                cl = tuple(cross(w_, ul)[i] + cross(l_, uw)[i]
+                           for i in range(3))
+                return cw + cl
+
+            def crf6(v6, f6):
+                w_, l_ = v6[:3], v6[3:]
+                nn, ff = f6[:3], f6[3:]
+                top = tuple(cross(w_, nn)[i] + cross(l_, ff)[i]
+                            for i in range(3))
+                bot = cross(w_, ff)
+                return top + bot
+
+            abias = [None] * m.nb
+            abias[0] = (zero1,) * 6
+            for b in m.topo:
+                p = m.parent[b]
+                dvj = tuple(vhat[b][r6] - vhat[p][r6] for r6 in range(6))
+                cr = crm6(vhat[b], dvj)
+                abias[b] = tuple(abias[p][r6] + cr[r6] for r6 in range(6))
+
+            a_g = (0.0, 0.0, 0.0) + m.gravity
+            fb = [None] * m.nb
+            for b in range(m.nb):
+                # I_O (a_b - a_g)
+                av = [abias[b][r6] - (a_g[r6] if a_g[r6] else 0.0)
+                      for r6 in range(6)]
+                i_av = [sum(io[b][r6][c6] * av[c6] for c6 in range(6))
+                        for r6 in range(6)]
+                i_v = [sum(io[b][r6][c6] * vhat[b][c6] for c6 in range(6))
+                       for r6 in range(6)]
+                cf = crf6(vhat[b], tuple(i_v))
+                fb[b] = [i_av[r6] + cf[r6] for r6 in range(6)]
+            for b in reversed(m.topo):
+                p = m.parent[b]
+                for r6 in range(6):
+                    fb[p][r6] = fb[p][r6] + fb[b][r6]
+            c_rows = [None] * n
+            for d in range(n):
+                cd = col_ang[d] + col_lin[d]
+                c_rows[d] = sum(cd[r6] * fb[m.dof_body[d]][r6]
+                                for r6 in range(6))
+
+            # ============ SPD errors -> f rows ============
+            f_rows = [rw * -1.0 for rw in c_rows]   # f = kpe - C
+            kpe_rows = [zero1] * n
+            for d0, lim, s in m.sph_motors:
+                qp = qnormalize(qmul(q_sph[s], qexp_scaled(w_sph[s], dt)))
+                # diff_rel(q_pred, target) = conj(q_pred) * target
+                qc = (-qp[0], -qp[1], -qp[2], qp[3])
+                dq = qmul(qc, tgt_sph[s])
+                e_p = q_axis_angle(dq)
+                for c in range(3):
+                    kpe = (m.kp[d0 + c] * e_p[c]
+                           - m.kd[d0 + c] * w_sph[s][c])
+                    kpe_rows[d0 + c] = kpe
+                    f_rows[d0 + c] = f_rows[d0 + c] + kpe
+            for d0, lim, r in m.rev_motors:
+                pred = q_rev[r] + w_rev[r] * dt
+                kpe = m.kp[d0] * (tgt_rev[r] - pred) - m.kd[d0] * w_rev[r]
+                kpe_rows[d0] = kpe
+                f_rows[d0] = f_rows[d0] + kpe
+            f_mat = jnp.concatenate(f_rows, axis=0)          # (n, T)
+
+            # ============ inverses ============
+            for i in range(n):
+                minv_scr[i, i, :] = minv_scr[i, i, :] + (kd_dt[i] + m.eps)
+                hinv_scr[i, i, :] = hinv_scr[i, i, :] + m.eps
+            _sweep(minv_scr, n)
+            _sweep(hinv_scr, n)
+
+            a_vec = _matvec(minv_scr, f_mat, n)              # (n, T)
+
+            # torque clamp correction -> dtau rows
+            dtau_rows = [zero1] * n
+            for d0, lim, s in m.sph_motors:
+                t3v = [kpe_rows[d0 + c] - kd_dt[d0 + c] * a_vec[d0 + c]
+                       for c in range(3)]
+                nrm = jnp.sqrt(t3v[0] * t3v[0] + t3v[1] * t3v[1]
+                               + t3v[2] * t3v[2])
+                scale = jnp.where(nrm > lim, lim / jnp.maximum(nrm, 1e-9),
+                                  1.0)
+                for c in range(3):
+                    dtau_rows[d0 + c] = t3v[c] * (scale - 1.0)
+            for d0, lim, r in m.rev_motors:
+                t1v = kpe_rows[d0] - kd_dt[d0] * a_vec[d0]
+                dtau_rows[d0] = jnp.clip(t1v, -lim, lim) - t1v
+            dtau = jnp.concatenate(dtau_rows, axis=0)
+
+            v_star = v_mat + dt * (a_vec + _matvec(hinv_scr, dtau, n))
+
+            # ============ contacts: candidates + top-K ============
+            xs = []
+            dists = []
+            for c in range(m.n_cand):
+                b = m.cand_body[c]
+                off = Rv_static(R_w[b], m.cand_off[c])
+                xc = tuple(p_w[b][i] + off[i] for i in range(3))
+                xs.append(xc)
+                # static tie-break epsilon keeps argmin unique
+                dists.append(xc[up] - m.cand_radius[c] + (c + 1) * 1e-7)
+            d_mat = jnp.concatenate(dists, axis=0)           # (n_cand, T)
+            act_all = (d_mat < 0.0).astype(jnp.float32)
+            x_mat = [jnp.concatenate([x[i] for x in xs], axis=0)
+                     for i in range(3)]                       # 3 x (n_cand,T)
+
+            d_work = d_mat
+            sel_x = []
+            sel_dist = []
+            sel_mask = []
+            big = 1e9
+            for j in range(K):
+                mn = jnp.min(d_work, axis=0, keepdims=True)  # (1, T)
+                oh = (d_work <= mn).astype(jnp.float32)      # one-hot
+                sel_dist.append(mn)
+                sel_x.append(tuple(
+                    jnp.sum(oh * x_mat[i], axis=0, keepdims=True)
+                    for i in range(3)))
+                # ancestor mask of the selected candidate: (n, T)
+                msk = jnp.sum(cmask_ref[...][:, :, None] * oh[None, :, :],
+                              axis=1)
+                sel_mask.append(msk)
+                d_work = d_work + oh * big
+
+            # stacked axis/anchor matrices (3 x (n, T))
+            ax_mat = [jnp.concatenate([waxis[d][i] for d in range(n)], axis=0)
+                      for i in range(3)]
+            an_mat = [jnp.concatenate([anchor[d][i] for d in range(n)],
+                                      axis=0) for i in range(3)]
+            # static contiguous run of linear dofs (free base: rows 3:6)
+            lin_idx = [d for d in range(n) if m.dof_is_linear[d]]
+            lin_s = lin_idx[0] if lin_idx else 0
+            lin_e = lin_idx[-1] + 1 if lin_idx else 0
+
+            # rows layout: [K normals, K t1, K t2, L limits]
+            for j in range(K):
+                diff = [sel_x[j][i] - an_mat[i] for i in range(3)]  # (n,T)
+                jr = [ax_mat[1] * diff[2] - ax_mat[2] * diff[1],
+                      ax_mat[2] * diff[0] - ax_mat[0] * diff[2],
+                      ax_mat[0] * diff[1] - ax_mat[1] * diff[0]]
+                for i in range(3):
+                    # linear dofs: row entry = axis component (not p x a)
+                    if lin_idx:
+                        jr[i] = jnp.concatenate(
+                            [jr[i][:lin_s], ax_mat[i][lin_s:lin_e],
+                             jr[i][lin_e:]], axis=0)
+                    jr[i] = jr[i] * sel_mask[j]
+                rows_scr[j, :, :] = jr[up]
+                rows_scr[K + j, :, :] = jr[t1x]
+                rows_scr[2 * K + j, :, :] = jr[t2x]
+            for li, (dof, ridx, val, sign) in enumerate(m.lim_rows):
+                rows_scr[3 * K + li, :, :] = jnp.zeros((n, t), jnp.float32)
+                rows_scr[3 * K + li, dof, :] = jnp.full((t,), sign,
+                                                        jnp.float32)
+
+            # targets / activity
+            tgt_list = []
+            act_n_list = []
+            for j in range(K):
+                pen = jnp.maximum(-sel_dist[j] - m.slop, 0.0)
+                tgt_list.append(m.erp / dt * pen)
+                act_n_list.append((sel_dist[j] < 0.0).astype(jnp.float32))
+            tgt_list += [zero1] * (2 * K)
+            act_l_list = []
+            for (dof, ridx, val, sign) in m.lim_rows:
+                viol = sign * (val - q_rev[ridx])
+                act_l_list.append((viol > 0.0).astype(jnp.float32))
+                tgt_list.append(m.limit_erp / dt * jnp.maximum(viol, 0.0))
+            target = jnp.concatenate(tgt_list, axis=0)       # (R, T)
+            act_n = jnp.concatenate(act_n_list, axis=0)      # (K, T)
+            act_l = (jnp.concatenate(act_l_list, axis=0)
+                     if m.n_lim else None)
+
+            # ============ W = Hinv J^T ; A = J W ; PGS ============
+            w_scr[...] = (hinv_scr[:, 0, :][:, None, :]
+                          * rows_scr[:, 0, :][None, :, :])
+            for kk in range(1, n):
+                w_scr[...] += (hinv_scr[:, kk, :][:, None, :]
+                               * rows_scr[:, kk, :][None, :, :])
+            a_scr[...] = (rows_scr[:, 0, :][:, None, :]
+                          * w_scr[0][None, :, :])
+            for kk in range(1, n):
+                a_scr[...] += (rows_scr[:, kk, :][:, None, :]
+                               * w_scr[kk][None, :, :])
+
+            rowsum = jnp.sum(jnp.abs(a_scr[...]), axis=1) + m.cfm
+            step = m.relaxation / jnp.maximum(rowsum, 1e-9)
+            b_vec = jnp.sum(rows_scr[...] * v_star[None, :, :],
+                            axis=1) - target
+
+            lam = jnp.zeros((R, t), dtype=jnp.float32)
+            for _ in range(m.iterations):
+                alam = jnp.sum(a_scr[...] * lam[None, :, :], axis=1)
+                upd = lam - step * (alam + b_vec)
+                lam_n = jnp.maximum(upd[:K], 0.0) * act_n
+                bound = m.mu * lam_n
+                lam_t1 = jnp.clip(upd[K:2 * K], -bound, bound) * act_n
+                lam_t2 = jnp.clip(upd[2 * K:3 * K], -bound, bound) * act_n
+                parts = [lam_n, lam_t1, lam_t2]
+                if m.n_lim:
+                    parts.append(jnp.maximum(upd[3 * K:], 0.0) * act_l)
+                lam = jnp.concatenate(parts, axis=0)
+
+            v_new = v_star + jnp.sum(w_scr[...] * lam[None, :, :], axis=1)
+            v_new = jnp.clip(v_new, -100.0, 100.0)
+
+            # ============ integrate (dynamics.advance semantics) ============
+            wb_n = tuple(v_new[i:i + 1, :] for i in range(3))
+            lb_n = tuple(v_new[3 + i:4 + i, :] for i in range(3))
+            dpos = Rv(R_w[0], lb_n)
+            new_pos = tuple(base_pos[i] + dt * dpos[i] for i in range(3))
+            new_quat = qnormalize(qmul(base_quat, qexp_scaled(wb_n, dt)))
+            R0n = q2R(new_quat)
+            new_ang = Rv(R0n, wb_n)
+            new_lin = Rv(R0n, lb_n)
+
+            out_rows = [None] * m.rows_state
+            for i in range(4):
+                out_rows[i] = new_quat[i]
+            for i in range(3):
+                out_rows[4 + i] = new_pos[i]
+                out_rows[7 + i] = new_ang[i]
+                out_rows[10 + i] = new_lin[i]
+            for s in range(m.n_sph):
+                b = _sph_body(m, s)
+                d = m.dof_offset[b]
+                ws_n = tuple(v_new[d + c:d + c + 1, :] for c in range(3))
+                qs_n = qnormalize(qmul(q_sph[s], qexp_scaled(ws_n, dt)))
+                for c in range(4):
+                    out_rows[m.row_q_sph(s) + c] = qs_n[c]
+                for c in range(3):
+                    out_rows[m.row_w_sph(s) + c] = ws_n[c]
+            rev_lims = {r: (lo, hi) for r, lo, hi in m.rev_limits}
+            for r in range(m.n_rev):
+                b = _rev_body(m, r)
+                d = m.dof_offset[b]
+                wr_n = v_new[d:d + 1, :]
+                qr_n = q_rev[r] + dt * wr_n
+                if r in rev_lims:
+                    lo, hi = rev_lims[r]
+                    qr_n = jnp.clip(qr_n, lo, hi)
+                out_rows[m.row_q_rev(r)] = qr_n
+                out_rows[m.row_w_rev(r)] = wr_n
+
+            st_new = jnp.concatenate(out_rows, axis=0)
+            # base position history for the phase-wrap re-sync
+            hist_out[pl_ds(3 * step_i, 3), :] = jnp.concatenate(new_pos,
+                                                                axis=0)
+            return (st_new, act_all)
+
+        init = (st_ref[...], jnp.zeros((m.n_cand, t), jnp.float32))
+        st_fin, act_fin = jax.lax.fori_loop(0, m.frame_skip, substep, init)
+        st_out[...] = st_fin
+        act_out[...] = act_fin
+
+    return kernel
+
+
+def _sweep(scr, n):
+    """In-place Gauss-Jordan inverse of scr (n, n, T) (ops/linalg.py)."""
+    for kk in range(n):
+        inv_d = 1.0 / scr[kk, kk]
+        row_k = scr[kk]
+        col_k = scr[:, kk]
+        scr[...] = scr[...] - col_k[:, None, :] * (row_k[None, :, :] * inv_d)
+        scr[kk, :, :] = row_k * inv_d
+        scr[:, kk, :] = col_k * inv_d
+        scr[kk, kk, :] = -inv_d
+    scr[...] = -scr[...]
+
+
+def _matvec(mat_ref, vec, n):
+    """(n, n, T) @ (n, T) -> (n, T)."""
+    acc = mat_ref[:, 0, :] * vec[0][None, :]
+    for kk in range(1, n):
+        acc = acc + mat_ref[:, kk, :] * vec[kk][None, :]
+    return acc
+
+
+def _ancestor_dofs(m: MegaMeta):
+    """For each dof e: static list of dofs d (d on an ancestor-or-self body
+    of body(e), d <= e) — the CRBA sparsity."""
+    anc_bodies = []
+    for b in range(m.nb):
+        chain = []
+        j = b
+        while j >= 0:
+            chain.append(j)
+            j = m.parent[j]
+        anc_bodies.append(set(chain))
+    out = []
+    for e in range(m.ndof):
+        be = m.dof_body[e]
+        ds = [d for d in range(m.ndof)
+              if m.dof_body[d] in anc_bodies[be] and d <= e]
+        out.append(ds)
+    return out
+
+
+def _sph_body(m: MegaMeta, s):
+    for b in range(m.nb):
+        if m.jtype[b] == 1 and m.sph_index[b] == s:
+            return b
+    raise KeyError(s)
+
+
+def _rev_body(m: MegaMeta, r):
+    for b in range(m.nb):
+        if m.jtype[b] == 2 and m.rev_index[b] == r:
+            return b
+    raise KeyError(r)
+
+
+def pl_ds(start, size):
+    from jax.experimental import pallas as pl
+    return pl.ds(start, size)
+
+
+# ---------------------------------------------------------------------------
+# batched dispatch
+# ---------------------------------------------------------------------------
+
+def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
+                    tgt_sph: jnp.ndarray, tgt_rev: jnp.ndarray,
+                    interpret: bool = False):
+    """Batched control step. st: (B, rows_state); tgt_sph: (B, 4*n_sph);
+    tgt_rev: (B, n_rev). Returns (st', active (B, n_cand),
+    base_hist (B, frame_skip, 3))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, R, K = meta.ndof, meta.n_rows, meta.n_contacts
+    rs = meta.rows_state
+    b = st.shape[0]
+    tile = _LANES if b >= _LANES else b
+    pad = (-b) % tile
+    if pad:
+        ident = pack_state(meta, _identity_state(meta))
+        st = jnp.concatenate(
+            [st, jnp.broadcast_to(ident, (pad, rs))], axis=0)
+        iq = jnp.zeros((pad, 4 * meta.n_sph)).at[:, 3::4].set(1.0)
+        tgt_sph = jnp.concatenate([tgt_sph, iq], axis=0)
+        tgt_rev = jnp.concatenate(
+            [tgt_rev, jnp.zeros((pad, meta.n_rev))], axis=0)
+    bp = st.shape[0]
+
+    st_l = jnp.transpose(st, (1, 0))
+    ts_l = jnp.transpose(tgt_sph, (1, 0))
+    tr_l = jnp.transpose(tgt_rev, (1, 0))
+    cmask_j = jnp.asarray(cmask)
+
+    spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape + (tile,), lambda i: (0,) * len(shape) + (i,),
+        memory_space=pltpu.VMEM)
+    tbl = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    st_o, act_o, hist_o = pl.pallas_call(
+        _make_kernel(meta),
+        out_shape=(
+            jax.ShapeDtypeStruct((rs, bp), jnp.float32),
+            jax.ShapeDtypeStruct((meta.n_cand, bp), jnp.float32),
+            jax.ShapeDtypeStruct((3 * meta.frame_skip, bp), jnp.float32),
+        ),
+        grid=(bp // tile,),
+        in_specs=[spec(rs), spec(4 * meta.n_sph), spec(meta.n_rev),
+                  tbl(meta.ndof, meta.n_cand)],
+        out_specs=(spec(rs), spec(meta.n_cand), spec(3 * meta.frame_skip)),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, tile), jnp.float32),
+            pltpu.VMEM((n, n, tile), jnp.float32),
+            pltpu.VMEM((R, n, tile), jnp.float32),
+            pltpu.VMEM((n, R, tile), jnp.float32),
+            pltpu.VMEM((R, R, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(st_l, ts_l, tr_l, cmask_j)
+
+    st_o = jnp.transpose(st_o, (1, 0))[:b]
+    act_o = jnp.transpose(act_o, (1, 0))[:b] > 0.5
+    hist_o = jnp.transpose(hist_o, (1, 0))[:b].reshape(b, meta.frame_skip, 3)
+    return st_o, act_o, hist_o
+
+
+def _identity_state(meta: MegaMeta):
+    import types
+    t = types.SimpleNamespace(
+        base_quat=jnp.array([0.0, 0.0, 0.0, 1.0]),
+        base_pos=jnp.array([0.0, 10.0, 0.0]),
+        base_ang=jnp.zeros(3), base_lin=jnp.zeros(3),
+        q_sph=jnp.zeros((meta.n_sph, 4)).at[:, 3].set(1.0),
+        w_sph=jnp.zeros((meta.n_sph, 3)),
+        q_rev=jnp.zeros(meta.n_rev), w_rev=jnp.zeros(meta.n_rev),
+    )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# public entry: custom_vmap
+# ---------------------------------------------------------------------------
+
+def make_megastep(meta: MegaMeta, cmask: np.ndarray, reference_substep):
+    """Build the batched control-step function.
+
+    ``reference_substep(state, t_sph, t_rev) -> (state', active_all,
+    base_pos)`` is the per-env substep (engine fused path) used as the
+    unbatched primal and as the CPU fallback under vmap.
+    """
+    cmask = np.asarray(cmask, dtype=np.float32)
+
+    def _primal(state, t_sph, t_rev):
+        def body(st, _):
+            st2, act, _bp = reference_substep(st, t_sph, t_rev)
+            return st2, (act, st2.base_pos)
+
+        st, (acts, hist) = jax.lax.scan(
+            body, state, None, length=meta.frame_skip)
+        return st, acts[-1], hist
+
+    @jax.custom_batching.custom_vmap
+    def mega(state, t_sph, t_rev):
+        return _primal(state, t_sph, t_rev)
+
+    @mega.def_vmap
+    def _rule(axis_size, in_batched, state, t_sph, t_rev):
+        st_b, ts_b, tr_b = in_batched
+        state = jax.tree.map(
+            lambda x, bb: x if bb else jnp.broadcast_to(
+                x, (axis_size,) + x.shape),
+            state, st_b)
+        if not ts_b:
+            t_sph = jnp.broadcast_to(t_sph, (axis_size,) + t_sph.shape)
+        if not tr_b:
+            t_rev = jnp.broadcast_to(t_rev, (axis_size,) + t_rev.shape)
+
+        if jax.default_backend() == "tpu":
+            st_mat = pack_state(meta, state)
+            ts = t_sph.reshape(axis_size, 4 * meta.n_sph)
+            st_o, act, hist = megastep_pallas(meta, cmask, st_mat, ts, t_rev)
+            out_state = unpack_state(meta, st_o, state)
+            out = (out_state, act, hist)
+        else:
+            out = jax.vmap(_primal)(state, t_sph, t_rev)
+        batched = jax.tree.map(lambda _: True, out)
+        return out, batched
+
+    return mega

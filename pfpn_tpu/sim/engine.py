@@ -50,6 +50,11 @@ class EngineConfig:
     # control mode; identical math to the unfused path (cross-validated in
     # tests/test_fused.py). Off on CPU automatically (custom_vmap fallback).
     fused: bool = True
+    # fuse the ENTIRE control step (FK, dynamics, SPD, contacts, integration
+    # x frame_skip substeps) into one Pallas kernel (ops/megastep.py) —
+    # eliminates the per-substep XLA launch soup. SPD mode only; env.step
+    # uses it via control_step_full. Off on CPU automatically.
+    megastep: bool = True
 
 
 class Engine:
@@ -72,6 +77,15 @@ class Engine:
         self._substep_core = None
         if config.fused and config.control_mode == "spd" and gains is not None:
             self._substep_core = self._build_substep_core()
+        self.mega = None
+        if (config.megastep and self._substep_core is not None):
+            from ..ops.megastep import build_meta, make_megastep
+            meta = build_meta(
+                tree, gains, config.contact, self.contact_set,
+                config.dt, config.frame_skip, config.gravity)
+            self.mega = make_megastep(
+                meta, self.contact_set.ancestor_mask,
+                self._substep_fused_core_full)
 
     def _build_substep_core(self):
         from ..ops.substep_lin import SubstepMeta, make_substep_core
@@ -172,8 +186,9 @@ class Engine:
         v = pack_velocity(tree, state, fkr)
         return fkr, h, c, v
 
-    def _substep_fused(self, state: SimState, target_sph, target_rev):
-        """SPD substep through the fused Pallas core (ops/substep_lin.py)."""
+    def _substep_fused_core(self, state: SimState, target_sph, target_rev):
+        """SPD substep through the fused Pallas core (ops/substep_lin.py).
+        Returns (state', RowSet)."""
         tree, cfg = self.tree, self.config
         dt = cfg.dt
         fkr, h, c, v = self._dynamics(state)
@@ -188,7 +203,34 @@ class Engine:
             h, kpe - c, kpe, v, rs.rows, rs.target, rs.act_n, rs.act_l)
         state = advance(tree, state, fkr, v_new, dt)
         state = self._clamp_limits(state)
+        return state, rs
+
+    def _substep_fused(self, state: SimState, target_sph, target_rev):
+        state, rs = self._substep_fused_core(state, target_sph, target_rev)
         return state, rs.link_contact
+
+    def _substep_fused_core_full(self, state: SimState, target_sph,
+                                 target_rev):
+        """(state', active_all, base_pos) — the megastep reference substep."""
+        state, rs = self._substep_fused_core(state, target_sph, target_rev)
+        return state, rs.active_all, state.base_pos
+
+    # -- one full control step through the megastep kernel ----------------
+    def control_step_full(self, state: SimState, target_sph, target_rev):
+        """(state', active_all (n_cand,) bool, base_hist (frame_skip, 3)).
+
+        One fused kernel on TPU (ops/megastep.py); scan of fused substeps
+        elsewhere. Requires SPD mode with megastep enabled."""
+        assert self.mega is not None, "megastep not enabled"
+        return self.mega(state, target_sph, target_rev)
+
+    def link_contact_from_active(self, active: jnp.ndarray) -> jnp.ndarray:
+        """Map per-candidate contact flags to per-link flags (+base slot)."""
+        nl = self.tree.link_pos.shape[0]
+        link_idx = np.where(self.contact_set.link < 0, nl,
+                            self.contact_set.link)
+        return jnp.zeros(nl + 1, dtype=bool).at[
+            jnp.asarray(link_idx)].max(active)
 
     def _clamp_limits(self, state: SimState) -> SimState:
         # safety clamp on revolute limits (impulse rows handle dynamics;

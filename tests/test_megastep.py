@@ -1,0 +1,118 @@
+"""Megastep kernel (ops/megastep.py) equivalence tests.
+
+1. The env step through the megastep path (CPU fallback = scan of fused
+   substeps + closed-form wrap re-sync) must match the legacy per-substep
+   scan, including across a reference-motion phase wrap.
+2. The Pallas kernel (interpret mode) must reproduce the scan-of-substeps
+   primal for a batch of real env states.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfpn_tpu.envs.deepmimic import make
+
+
+def _env():
+    return make("DeepMimicWalk-v0")
+
+
+def test_megastep_env_path_matches_legacy_scan():
+    env = _env()
+    assert env.engine.mega is not None
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    state, obs = jax.jit(env.reset_batch)(keys)
+    # place two envs just before a phase wrap to exercise the re-sync
+    et = state.elapsed_time
+    near_wrap = env.motion.duration - 1.5 * env.dt
+    et = et.at[:2].set(near_wrap)
+    state = state.replace(elapsed_time=et, init_time=et)
+
+    acts = 0.1 * jax.random.normal(jax.random.PRNGKey(5),
+                                   (4, env.action_size))
+
+    step_mega = jax.jit(jax.vmap(env.step))
+    mega = env.engine.mega
+    try:
+        env.engine.mega = None
+        step_old = jax.jit(jax.vmap(env.step))
+        res_old = step_old(state, acts)
+    finally:
+        env.engine.mega = mega
+    res_new = step_mega(state, acts)
+
+    for name in ("base_pos", "base_quat", "q_rev", "w_rev"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_new.state.sim, name)),
+            np.asarray(getattr(res_old.state.sim, name)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_new.state.ref_pos_offset),
+        np.asarray(res_old.state.ref_pos_offset), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_new.reward),
+                               np.asarray(res_old.reward), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res_new.done),
+                                  np.asarray(res_old.done))
+    # the wrap actually happened for the first two envs
+    assert np.all(np.asarray(res_new.state.elapsed_time[:2])
+                  > env.motion.duration)
+
+
+def test_megastep_kernel_interpret_matches_primal():
+    from pfpn_tpu.ops import megastep as ms
+
+    env = _env()
+    eng = env.engine
+    meta = ms.build_meta(eng.tree, eng.gains, eng.config.contact,
+                         eng.contact_set, eng.config.dt,
+                         eng.config.frame_skip, eng.config.gravity)
+    cmask = eng.contact_set.ancestor_mask
+
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    state, _ = jax.jit(env.reset_batch)(keys)
+    sim = state.sim
+    # perturb velocities so contacts/limits engage
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    sim = sim.replace(
+        base_lin=sim.base_lin + jnp.array([0.1, -0.4, 0.0]),
+        w_sph=sim.w_sph + 0.3 * jax.random.normal(k1, sim.w_sph.shape),
+        w_rev=sim.w_rev + 0.3 * jax.random.normal(k2, sim.w_rev.shape),
+    )
+
+    tgt_sph = jnp.zeros((B, meta.n_sph, 4)).at[:, :, 3].set(1.0)
+    tgt_rev = jnp.zeros((B, meta.n_rev))
+
+    def primal(st, ts, tr):
+        def body(s, _):
+            s2, act, _bp = eng._substep_fused_core_full(s, ts, tr)
+            return s2, (act, s2.base_pos)
+        st, (acts, hist) = jax.lax.scan(body, st, None,
+                                        length=meta.frame_skip)
+        return st, acts[-1], hist
+
+    want_st, want_act, want_hist = jax.vmap(primal)(sim, tgt_sph, tgt_rev)
+
+    st_mat = ms.pack_state(meta, sim)
+    got_mat, got_act, got_hist = ms.megastep_pallas(
+        meta, cmask, st_mat, tgt_sph.reshape(B, -1), tgt_rev,
+        interpret=True)
+    got_st = ms.unpack_state(meta, got_mat, sim)
+
+    np.testing.assert_allclose(np.asarray(got_st.base_pos),
+                               np.asarray(want_st.base_pos), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_st.base_quat),
+                               np.asarray(want_st.base_quat), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_st.q_sph),
+                               np.asarray(want_st.q_sph), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_st.w_sph),
+                               np.asarray(want_st.w_sph), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_st.q_rev),
+                               np.asarray(want_st.q_rev), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hist),
+                               np.asarray(want_hist), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_act),
+                                  np.asarray(want_act))
+    # contacts actually engaged at some point
+    assert np.asarray(want_act).sum() > 0
