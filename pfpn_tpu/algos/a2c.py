@@ -22,7 +22,7 @@ A2CConfig = PPOConfig
 class A2C(PPO):
     """Same rollout/update machinery as PPO with A2C losses."""
 
-    def _loss(self, params, norm, batch):
+    def _loss(self, params, norm, batch, vnorm=None):
         net = self.net
         ncfg = net.cfg
         lp = net.log_prob(params, norm, batch["obs"], batch["action"])
@@ -34,10 +34,16 @@ class A2C(PPO):
         adv = jax.lax.stop_gradient(adv)
         policy_loss = -jnp.mean(lp * adv)
 
-        v = net.value(params, norm, batch["obs"])
         # value_target = value + advantage, materialized like the reference
         # host-side buffer (workers/a2c.py:74-77)
         v_target = batch["value"] + batch["advantage"]
+        if ncfg.normalize_value:
+            from ..networks import value_norm as vnorm_mod
+            v = net.normalized_value(params, norm, batch["obs"], vnorm)
+            v_target = vnorm_mod.normalize_target(vnorm, v_target,
+                                                  clip=ncfg.clip_value)
+        else:
+            v = net.value(params, norm, batch["obs"])
         value_loss = jnp.mean((v - v_target) ** 2)
 
         entropy = None

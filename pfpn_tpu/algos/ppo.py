@@ -37,6 +37,7 @@ import optax
 from flax import struct
 
 from ..networks import normalizer as norm_mod
+from ..networks import value_norm as vnorm_mod
 from ..networks.actor_critic import ActorCritic
 from ..networks.heads import ParticleHead, update_activation_stats
 from ..networks.resample import maybe_resample
@@ -69,6 +70,13 @@ class PPOState:
     # episode bookkeeping for metrics
     ep_return: jnp.ndarray        # (B,) running return per env
     last_ep_return: jnp.ndarray   # (B,) most recent completed episode
+    # value-target normalizer (actor_critic.py:246-269; identity unless
+    # net.cfg.normalize_value). Optional[ValueNormState]; the default stays
+    # None so no array is created at import time (premature backend init).
+    vnorm: Any = None
+    # carried LSTM (c, h) per env — used by RecurrentPPO only
+    # (algos/recurrent.py; reference episodic mode distributed_model.py:354-370)
+    carry: Any = None
 
 
 def _label_params(params):
@@ -120,6 +128,7 @@ class PPO:
             total_samples=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
             ep_return=jnp.zeros(self.cfg.num_envs),
             last_ep_return=jnp.zeros(self.cfg.num_envs),
+            vnorm=vnorm_mod.init(),
         )
 
     # -- rollout ---------------------------------------------------------
@@ -136,14 +145,15 @@ class PPO:
         def step(carry, _):
             env_state, obs, key, stats, ep_ret, last_ret = carry
             key, k_act, k_reset = jax.random.split(key, 3)
-            a, lp, v, aux = net.act(state.params, state.norm, k_act, obs)
+            a, lp, v, aux = net.act(state.params, state.norm, k_act, obs,
+                                    state.vnorm)
             if self._is_pfpn:
                 stats = update_activation_stats(stats, aux["probs"])
             reset_keys = jax.random.split(k_reset, cfg.num_envs)
             new_env_state, next_obs, res = env.step_autoreset(
                 env_state, self._clip_action(a), reset_keys
             )
-            v_next = net.value(state.params, state.norm, res.obs)
+            v_next = net.value(state.params, state.norm, res.obs, state.vnorm)
             ep_ret = ep_ret + res.reward
             last_ret = jnp.where(res.done, ep_ret, last_ret)
             ep_ret = jnp.where(res.done, 0.0, ep_ret)
@@ -167,7 +177,7 @@ class PPO:
         return state, traj
 
     # -- losses ----------------------------------------------------------
-    def _loss(self, params, norm, batch):
+    def _loss(self, params, norm, batch, vnorm=None):
         net, cfg = self.net, self.cfg
         ncfg = net.cfg
         lp = net.log_prob(params, norm, batch["obs"], batch["action"])
@@ -182,9 +192,16 @@ class PPO:
         clipped = jnp.clip(ratio, 1.0 - cfg.epsilon, 1.0 + cfg.epsilon) * adv
         policy_loss = -jnp.mean(jnp.minimum(surr, clipped))
 
-        v = net.value(params, norm, batch["obs"])
         v_target = batch["value"] + batch["advantage"]  # ppo.py:31-34
-        value_loss = jnp.mean((v - v_target) ** 2)
+        if ncfg.normalize_value:
+            # regress scale/offset-adjusted critic output against the
+            # normalized target (actor_critic.py:117-135)
+            v = net.normalized_value(params, norm, batch["obs"], vnorm)
+            v_target = vnorm_mod.normalize_target(vnorm, v_target,
+                                                  clip=ncfg.clip_value)
+        else:
+            v = net.value(params, norm, batch["obs"])
+        value_loss = jnp.mean((v - jax.lax.stop_gradient(v_target)) ** 2)
 
         entropy = None
         if ncfg.entropy_beta:
@@ -219,7 +236,7 @@ class PPO:
         n_mb = n // mb
 
         def epoch(carry, epoch_idx):
-            params, opt_state, norm, stats, key, gstep = carry
+            params, opt_state, norm, stats, vnorm, key, gstep = carry
             key, k_perm, k_rs = jax.random.split(key, 3)
             perm = jax.random.permutation(k_perm, n)
             shuf = {k: v[perm] for k, v in flat.items()}
@@ -230,14 +247,22 @@ class PPO:
             rs_keys = jax.random.split(k_rs, n_mb)
 
             def minibatch(carry, xs):
-                params, opt_state, norm, stats, gstep = carry
+                params, opt_state, norm, stats, vnorm, gstep = carry
                 batch, rs_key = xs
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, norm, batch)
+                )(params, norm, batch, vnorm)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 gstep = gstep + 1
+                if ncfg.normalize_value:
+                    # running stats from the raw target, scale/offset
+                    # renormalized to preserve denormalized outputs
+                    # (actor_critic.py:347-363; UPDATE_OPS cadence = every
+                    # optimizer step)
+                    vnorm = vnorm_mod.update(
+                        vnorm, batch["value"] + batch["advantage"], gstep
+                    )
                 # normalizer: first epoch only (sync_model.py:103-149)
                 if ncfg.normalize_state:
                     new_norm = norm_mod.update_moving_average(
@@ -253,23 +278,23 @@ class PPO:
                     )
                     params = {**params, "head": head_p}
                 metrics["loss"] = loss
-                return (params, opt_state, norm, stats, gstep), metrics
+                return (params, opt_state, norm, stats, vnorm, gstep), metrics
 
-            (params, opt_state, norm, stats, gstep), metrics = jax.lax.scan(
-                minibatch, (params, opt_state, norm, stats, gstep),
+            (params, opt_state, norm, stats, vnorm, gstep), metrics = jax.lax.scan(
+                minibatch, (params, opt_state, norm, stats, vnorm, gstep),
                 (batched, rs_keys),
             )
-            return (params, opt_state, norm, stats, key, gstep), metrics
+            return (params, opt_state, norm, stats, vnorm, key, gstep), metrics
 
         carry = (state.params, state.opt_state, state.norm, state.head_stats,
-                 state.key, state.global_step)
+                 state.vnorm, state.key, state.global_step)
         carry, metrics = jax.lax.scan(
             epoch, carry, jnp.arange(cfg.opt_epochs)
         )
-        params, opt_state, norm, stats, key, gstep = carry
+        params, opt_state, norm, stats, vnorm, key, gstep = carry
         state = state.replace(
             params=params, opt_state=opt_state, norm=norm, head_stats=stats,
-            key=key, global_step=gstep,
+            vnorm=vnorm, key=key, global_step=gstep,
         )
         metrics = jax.tree.map(lambda x: jnp.mean(x), metrics)
         return state, metrics

@@ -152,7 +152,9 @@ def spd_accel(
     torque-limit clamp requires a correction: qdd = a + H^-1 S (tau_clamped -
     tau_unclamped).
 
-    Returns (a, delta_tau) with delta_tau the (ndof,) clamp correction force.
+    Returns (a, delta_tau, tau_clamped): delta_tau is the (ndof,) clamp
+    correction force; tau_clamped the applied per-dof torque (the quantity
+    the reference's torque-log channel records, deepmimic.py:772-798).
     """
     kp = jnp.asarray(gains.kp, dtype=jnp.float32)
     kd = jnp.asarray(gains.kd, dtype=jnp.float32)
@@ -163,7 +165,7 @@ def spd_accel(
     a = m_spd_inv @ f
     tau = kp_e + kd_e - kd * a * dt
     _, tau_clamped = _clamp_motor_slices(tree, tau)
-    return a, tau_clamped - tau
+    return a, tau_clamped - tau, tau_clamped
 
 
 @f32_precision

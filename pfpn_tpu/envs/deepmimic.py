@@ -314,6 +314,74 @@ class DeepMimicEnv:
         done = jnp.logical_or(terminated, truncated)
         return StepResult(state, self.observe(state), reward, done, terminated, truncated)
 
+    # -- torque-log diagnostic channel (deepmimic.py:401-414, 772-798) ----
+    @f32_precision
+    def step_log(self, state: EnvState, action: jnp.ndarray):
+        """Like step() but also returns the applied per-dof torque history
+        (frame_skip, ndof) — the reference's info["log"]["torque"] channel.
+        Uses the unfused substep (diagnostics, not the hot path); convert to
+        the reference's named dict with torque_log()."""
+        action = self.unnormalize_action(action)
+        t_sph, t_rev, torques = self._action_to_targets(action)
+        duration = self.motion.duration
+
+        def substep(carry, _):
+            sim, elapsed, off = carry
+            sim, link_contact, tau = self.engine.substep(
+                sim, t_sph, t_rev, torques, return_torque=True)
+            new_elapsed = elapsed + self.dt
+            wrapped = jnp.mod(new_elapsed, duration) < jnp.mod(elapsed, duration)
+            new_off = sync_position_offset(self.motion, new_elapsed, sim.base_pos, UP)
+            off = jnp.where(wrapped, new_off, off)
+            return (sim, new_elapsed, off), (link_contact, tau)
+
+        (sim, elapsed, off), (contacts, tau_hist) = jax.lax.scan(
+            substep, (state.sim, state.elapsed_time, state.ref_pos_offset),
+            None, length=self.frame_skip,
+        )
+        last_contact = jax.tree.map(lambda x: x[-1], contacts)
+
+        state = EnvState(
+            sim=sim, elapsed_time=elapsed,
+            init_time=state.init_time, ref_pos_offset=off,
+        )
+        if self.has_termination:
+            allowed = np.concatenate([self.contact_allowed, [False]])
+            bad = jnp.logical_and(last_contact, ~jnp.asarray(allowed))
+            terminated = jnp.any(bad)
+        else:
+            terminated = jnp.zeros((), dtype=bool)
+        reward = self.reward(state, terminated)
+        truncated = jnp.logical_and(
+            ~terminated, elapsed >= self.overtime + state.init_time)
+        done = jnp.logical_or(terminated, truncated)
+        res = StepResult(state, self.observe(state), reward, done,
+                         terminated, truncated)
+        return res, tau_hist
+
+    @property
+    def torque_channels(self):
+        """Named per-dof channels in the reference's scheme: revolute joints
+        log under their name, spherical under name_{x,y,z}
+        (deepmimic.py:404-412)."""
+        tree = self.tree
+        channels = []
+        for m, b in enumerate(tree.motor_bodies):
+            d = int(tree.dof_offset[b])
+            name = tree.motor_names[m]
+            if int(tree.joint_type[b]) == REVOLUTE:
+                channels.append((name, d))
+            else:
+                for i, ax in enumerate("xyz"):
+                    channels.append((f"{name}_{ax}", d + i))
+        return channels
+
+    def torque_log(self, tau_hist) -> dict:
+        """Host-side: (.., frame_skip, ndof) torque history -> the
+        reference's named-channel dict (info["log"]["torque"])."""
+        hist = np.asarray(tau_hist)
+        return {name: hist[..., d] for name, d in self.torque_channels}
+
     # -- observation (deepmimic.py:555-592) -------------------------------
     @f32_precision
     def observe(self, state: EnvState) -> jnp.ndarray:

@@ -54,6 +54,23 @@ def build_head(cfg: RunConfig, env):
 
 def build_net(cfg: RunConfig, env) -> ActorCritic:
     head = build_head(cfg, env)
+    if cfg.network.lstm:
+        from ..networks import RecurrentACConfig, RecurrentActorCritic
+        return RecurrentActorCritic(RecurrentACConfig(
+            obs_dim=env.observation_size,
+            head=head,
+            lstm_hidden=cfg.network.lstm,
+            actor_shape=cfg.network.actor_shape,
+            critic_shape=cfg.network.critic_shape,
+            normalize_state=cfg.network.normalize_state,
+            clip_state=cfg.network.clip_state,
+            value_loss_coef=cfg.network.value_loss_coef,
+            entropy_beta=cfg.network.entropy_beta,
+            normalize_advantage=cfg.network.normalize_advantage,
+            clip_advantage=cfg.network.clip_advantage,
+            gamma=cfg.network.gamma,
+            lambd=cfg.network.lambd,
+        ))
     return ActorCritic(ACConfig(
         obs_dim=env.observation_size,
         head=head,
@@ -62,6 +79,8 @@ def build_net(cfg: RunConfig, env) -> ActorCritic:
         critic_shape=cfg.network.critic_shape,
         normalize_state=cfg.network.normalize_state,
         clip_state=cfg.network.clip_state,
+        normalize_value=cfg.network.normalize_value,
+        clip_value=cfg.network.clip_value,
         value_loss_coef=cfg.network.value_loss_coef,
         entropy_beta=cfg.network.entropy_beta,
         normalize_advantage=cfg.network.normalize_advantage,
@@ -74,6 +93,18 @@ def build_net(cfg: RunConfig, env) -> ActorCritic:
 def build_algo(cfg: RunConfig):
     env = build_env(cfg)
     net = build_net(cfg, env)
+    if cfg.algo == "ppo" and cfg.network.lstm:
+        from ..algos.ppo import PPOConfig
+        from ..algos.recurrent import RecurrentPPO
+        return RecurrentPPO(env, net, PPOConfig(
+            num_envs=cfg.num_envs,
+            unroll_length=cfg.worker.unroll_length,
+            minibatch_size=cfg.minibatch_size,
+            opt_epochs=cfg.worker.opt_epochs or 1,
+            lr_actor=cfg.worker.lr_actor,
+            lr_critic=cfg.worker.lr_critic,
+            norm_clip=cfg.worker.norm_clip,
+        ))
     if cfg.algo == "ppo":
         from ..algos.ppo import PPO, PPOConfig
         return PPO(env, net, PPOConfig(

@@ -32,11 +32,16 @@ class NetworkSettings:
     common_shape: tuple = ()
     actor_shape: tuple = (1024, 512)
     critic_shape: tuple = (1024, 512)
+    # LSTM common trunk (episodic/sequence training, ops.py:11-37); the
+    # hidden size, or None for the feedforward trunks above
+    lstm: Optional[int] = None
     gamma: float = 0.95
     lambd: float = 0.95
     value_loss_coef: float = 0.5
     normalize_state: bool = True
     clip_state: Optional[float] = 5.0
+    normalize_value: bool = False     # deepmimic_base.py:14 (off everywhere)
+    clip_value: Optional[float] = None
     normalize_advantage: bool = False
     clip_advantage: Optional[float] = None
     entropy_beta: Optional[float] = None

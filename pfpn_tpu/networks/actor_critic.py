@@ -37,6 +37,10 @@ class ACConfig:
     critic_shape: Tuple[int, ...] = (1024, 512)
     normalize_state: bool = True
     clip_state: Optional[float] = 5.0
+    # value-target normalization (actor_critic.py:246-269,335-363; disabled
+    # in every shipped DeepMimic preset, deepmimic_base.py:14)
+    normalize_value: bool = False
+    clip_value: Optional[float] = None
     # loss coefficients (actor_critic.py:101-184)
     value_loss_coef: float = 0.5
     entropy_beta: Optional[float] = None
@@ -102,17 +106,36 @@ class ActorCritic:
             x = apply_mlp(params["actor_trunk"], x, last_activation=jax.nn.relu6)
         return x
 
-    def value(self, params, norm, obs):
+    def raw_value(self, params, norm, obs):
+        """Critic MLP output before any value (de)normalization."""
         x = self._trunk(params, self._normalized(norm, obs))
         v = apply_mlp(params["critic"], x)
         return v[..., 0]
 
+    def normalized_value(self, params, norm, obs, vnorm=None):
+        """Scale/offset-adjusted critic output — the quantity the value loss
+        regresses against the normalized target when normalize_value is on
+        (actor_critic.py:96-135: normalized_value*scale + offset, clipped)."""
+        v = self.raw_value(params, norm, obs)
+        if self.cfg.normalize_value and vnorm is not None:
+            v = v * vnorm.scale + vnorm.offset
+        if self.cfg.clip_value:
+            v = jnp.clip(v, -self.cfg.clip_value, self.cfg.clip_value)
+        return v
+
+    def value(self, params, norm, obs, vnorm=None):
+        """Denormalized value estimate (the one GAE/bootstraps consume)."""
+        v = self.normalized_value(params, norm, obs, vnorm)
+        if self.cfg.normalize_value and vnorm is not None:
+            v = v * vnorm.std + vnorm.mean
+        return v
+
     # -- policy API ------------------------------------------------------
-    def act(self, params, norm, key, obs):
+    def act(self, params, norm, key, obs, vnorm=None):
         """Sampled action + log-prob + value + aux (rollout path)."""
         feat = self.actor_features(params, norm, obs)
         a, lp, aux = heads_mod.sample_with_log_prob(self.cfg.head, params["head"], feat, key)
-        v = self.value(params, norm, obs)
+        v = self.value(params, norm, obs, vnorm)
         return a, lp, v, aux
 
     def act_deterministic(self, params, norm, obs):

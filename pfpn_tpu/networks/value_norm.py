@@ -10,7 +10,15 @@ already-learned outputs keep denormalizing to the same values:
 
 Disabled in all shipped DeepMimic presets (normalize_value=False,
 settings/deepmimic/deepmimic_base.py:14) but part of the reference API
-surface.
+surface; wired into the actor-critic graph and the PPO/A2C value losses
+behind ``ACConfig.normalize_value``.
+
+Deviation (PARITY.md): the reference's renormalization OVERWRITES scale/
+offset from the pre-update stats (actor_critic.py:354-356: scale=std/new_std)
+— which only preserves outputs while scale/offset are still identity; after
+the first update successive renormalizations drift. Here the update COMPOSES
+(scale' = scale*std/new_std), which preserves denormalized outputs exactly
+across every update.
 """
 
 from __future__ import annotations

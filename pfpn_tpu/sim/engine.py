@@ -125,12 +125,16 @@ class Engine:
         target_sph: jnp.ndarray,
         target_rev: jnp.ndarray,
         torque_motors: Optional[List[jnp.ndarray]] = None,
+        return_torque: bool = False,
     ) -> Tuple[SimState, jnp.ndarray]:
-        """Advance dt. Returns (state', link_contact_flags (nl,) bool)."""
+        """Advance dt. Returns (state', link_contact_flags (nl,) bool), plus
+        the applied per-dof torque (ndof,) when return_torque (the torque-log
+        diagnostic channel, reference deepmimic.py:772-798 — runs the unfused
+        path, which is cross-validated against the fused kernels)."""
         tree, cfg = self.tree, self.config
         dt = cfg.dt
 
-        if self._substep_core is not None:
+        if self._substep_core is not None and not return_torque:
             return self._substep_fused(state, target_sph, target_rev)
 
         fkr, h, c, v = self._dynamics(state)
@@ -144,7 +148,7 @@ class Engine:
                               h + 1e-8 * eye])
             invs = spd_inverse_pair(pair)
             m_spd_inv, h_inv = invs[0], invs[1]
-            a, dtau = spd_accel(
+            a, dtau, tau_applied = spd_accel(
                 tree, self.gains, state, m_spd_inv, c,
                 target_sph, target_rev, dt,
             )
@@ -158,8 +162,8 @@ class Engine:
                 motor_tau = pd_position_torques(tree, state, target_sph, target_rev)
             else:
                 motor_tau = clamp_torques(tree, torque_motors)
-            tau = apply_joint_torques(tree, motor_tau)
-            qdd = h_inv @ (tau - c)
+            tau_applied = apply_joint_torques(tree, motor_tau)
+            qdd = h_inv @ (tau_applied - c)
         v_star = v + dt * qdd
 
         sol = contact_mod.solve(
@@ -170,6 +174,8 @@ class Engine:
 
         state = advance(tree, state, fkr, v_new, dt)
         state = self._clamp_limits(state)
+        if return_torque:
+            return state, sol.link_contact, tau_applied
         return state, sol.link_contact
 
     def _dynamics(self, state: SimState):

@@ -222,3 +222,172 @@ def test_sharded_ppo_runs_on_virtual_mesh():
     state, train_round = make_sharded_ppo(ppo, mesh, jax.random.PRNGKey(0))
     state, metrics = train_round(state)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_value_norm_update_preserves_denormalized_outputs():
+    """Renormalization correctness: after a stats update, any raw critic
+    output denormalizes to exactly the same value (actor_critic.py:347-363;
+    the composing form — see PARITY.md deviation)."""
+    from pfpn_tpu.networks import value_norm as vn
+
+    state = vn.init()
+    raw = jnp.asarray([-1.3, 0.0, 0.7, 2.4])
+    for step, scale in [(1, 5.0), (2, 40.0), (3, 0.2)]:
+        targets = scale * jax.random.normal(jax.random.PRNGKey(step), (256,)) + scale
+        before = vn.denormalize(state, raw)
+        state = vn.update(state, targets, jnp.asarray(step))
+        after = vn.denormalize(state, raw)
+        np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                                   rtol=1e-5, atol=1e-5)
+    # and the stats actually moved
+    assert abs(float(state.mean)) > 0.01 and abs(float(state.std) - 1.0) > 0.01
+
+
+def test_ppo_learns_with_value_normalization():
+    """normalize_value=True end-to-end: the critic regresses normalized
+    targets yet PPO still converges on the toy MDP, with rewards scaled so
+    raw targets are far from N(0,1)."""
+    from pfpn_tpu.algos.ppo import PPO, PPOConfig
+    from pfpn_tpu.networks import ACConfig, ActorCritic, GaussianHead
+
+    class ScaledToyEnv(ToyEnv):
+        def step_autoreset(self, states, actions, keys):
+            s, obs, res = super().step_autoreset(states, actions, keys)
+            return s, obs, res._replace(reward=50.0 * res.reward)
+
+    env = ScaledToyEnv()
+    head = GaussianHead(action_dim=2, action_low=env.action_low,
+                        action_high=env.action_high)
+    net = ActorCritic(ACConfig(
+        obs_dim=4, head=head, actor_shape=(32,), critic_shape=(32,),
+        normalize_state=False, normalize_advantage=True,
+        normalize_value=True, gamma=0.0, lambd=0.0,
+    ))
+    ppo = PPO(env, net, PPOConfig(
+        num_envs=32, unroll_length=8, minibatch_size=64, opt_epochs=2,
+        lr_actor=3e-3, lr_critic=3e-3,
+    ))
+    state = ppo.init_state(jax.random.PRNGKey(0))
+    train = jax.jit(ppo.train_round)
+    for _ in range(40):
+        state, m = train(state)
+    assert np.isfinite(float(m["loss"]))
+    # the running stats tracked the scaled targets
+    assert float(state.vnorm.std) > 2.0
+    a = ppo.net.act_deterministic(state.params, state.norm, jnp.zeros((1, 4)))
+    np.testing.assert_allclose(np.asarray(a)[0], [0.4, 0.4], atol=0.15)
+    # the denormalized value estimate matches the (scaled) expected return
+    v = ppo.net.value(state.params, state.norm, jnp.zeros((1, 4)), state.vnorm)
+    assert -30.0 < float(v[0]) < 30.0  # near 0 for a converged policy, in scaled units
+
+
+class MemoryEnv:
+    """Cue (+-1) visible only at t=0; reward at the final step (t=3) equals
+    cue * action. A feedforward policy is blind at decision time (obs is
+    zeros), so only a carried-state (LSTM) policy can beat reward 0."""
+
+    observation_size = 2
+    action_size = 1
+    action_low = np.full(1, -1.0)
+    action_high = np.full(1, 1.0)
+    horizon = 4
+
+    @struct.dataclass
+    class S:
+        cue: jnp.ndarray
+        t: jnp.ndarray
+
+    def reset(self, key):
+        cue = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
+        s = self.S(cue=cue, t=jnp.zeros((), jnp.int32))
+        return s, self._obs(s)
+
+    def _obs(self, s):
+        first = (s.t == 0).astype(jnp.float32)
+        return jnp.stack([s.cue * first, first])
+
+    def reset_batch(self, keys):
+        return jax.vmap(self.reset)(keys)
+
+    def _step1(self, s, a, key):
+        t = s.t + 1
+        done = t >= self.horizon
+        reward = jnp.where(done, s.cue * jnp.clip(a[0], -1.0, 1.0), 0.0)
+        ns = self.S(cue=s.cue, t=t)
+        obs = self._obs(ns)
+        from pfpn_tpu.envs.deepmimic import StepResult
+        # reset on done
+        rs, robs = self.reset(key)
+        ns = jax.tree.map(lambda x, y: jnp.where(done, x, y), rs, ns)
+        nobs = jnp.where(done, robs, obs)
+        res = StepResult(ns, obs, reward, done, jnp.zeros_like(done), done)
+        return ns, nobs, res
+
+    def step_autoreset(self, states, actions, keys):
+        return jax.vmap(self._step1)(states, actions, keys)
+
+
+def _make_recurrent_ppo(num_envs=64, unroll=8, minibatch=128, epochs=4):
+    from pfpn_tpu.algos.ppo import PPOConfig
+    from pfpn_tpu.algos.recurrent import RecurrentPPO
+    from pfpn_tpu.networks import GaussianHead, RecurrentACConfig, RecurrentActorCritic
+
+    env = MemoryEnv()
+    head = GaussianHead(action_dim=1, action_low=env.action_low,
+                        action_high=env.action_high)
+    net = RecurrentActorCritic(RecurrentACConfig(
+        obs_dim=2, head=head, lstm_hidden=32, actor_shape=(32,),
+        critic_shape=(32,), normalize_state=False, normalize_advantage=True,
+        gamma=0.95, lambd=0.95,
+    ))
+    ppo = RecurrentPPO(env, net, PPOConfig(
+        num_envs=num_envs, unroll_length=unroll, minibatch_size=minibatch,
+        opt_epochs=epochs, lr_actor=3e-3, lr_critic=3e-3,
+    ))
+    return env, net, ppo
+
+
+def test_recurrent_sequence_recompute_matches_rollout():
+    """The update-path time-major recomputation from the stored unroll-initial
+    carry reproduces the rollout's per-step log-probs and values exactly
+    (carried-state correctness across episode boundaries)."""
+    from pfpn_tpu.networks.recurrent import LSTMState
+
+    env, net, ppo = _make_recurrent_ppo()
+    state = ppo.init_state(jax.random.PRNGKey(0))
+    # run one round so carries are mid-episode (nontrivial carry0)
+    state, _ = jax.jit(ppo.train_round)(state)
+    state2, traj = jax.jit(ppo.rollout)(state)
+    done = traj["done"]
+    reset_before = jnp.concatenate(
+        [jnp.zeros_like(done[:1]), done[:-1]], axis=0)
+    lp, v, _ = net.sequence_outputs(
+        state.params, state.norm, traj["obs"], traj["action"],
+        traj["carry0"], reset_before)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(traj["log_prob"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(traj["value"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_recurrent_ppo_learns_memory_task():
+    """A recurrent policy learns the cue-recall task (expected reward > 0.6;
+    any memoryless policy is capped at 0) — the end-to-end episodic/LSTM
+    training capability (distributed_model.py:354-370)."""
+    env, net, ppo = _make_recurrent_ppo()
+    state = ppo.init_state(jax.random.PRNGKey(1))
+    train = jax.jit(ppo.train_round)
+    for _ in range(150):
+        state, m = train(state)
+    # deterministic eval: play 64 episodes with carried state
+    keys = jax.random.split(jax.random.PRNGKey(2), 64)
+    s, obs = env.reset_batch(keys)
+    carry = net.zero_carry(64)
+    total = jnp.zeros(64)
+    kk = jax.random.PRNGKey(3)
+    for t in range(env.horizon):
+        a, carry = net.act_deterministic(state.params, state.norm, obs, carry)
+        kk, k2 = jax.random.split(kk)
+        s, obs, res = env.step_autoreset(s, a, jax.random.split(k2, 64))
+        total = total + res.reward
+    assert float(jnp.mean(total)) > 0.6

@@ -157,3 +157,28 @@ def test_discrete_wrapper():
         np.asarray(w._continuous(jnp.full(36, 4, jnp.int32))), env.action_high,
         atol=1e-6,
     )
+
+
+def test_torque_log_channel(env):
+    """step_log returns the applied per-dof torque history with the
+    reference's named channels (deepmimic.py:401-414, 772-798) and the same
+    env transition as step()."""
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    a = jnp.zeros(env.action_size)
+    res_plain = jax.jit(env.step)(state, a)
+    res, tau_hist = jax.jit(env.step_log)(state, a)
+    assert tau_hist.shape == (env.frame_skip, env.tree.ndof)
+    # same transition as the plain step (fused/unfused cross-validated)
+    np.testing.assert_allclose(np.asarray(res.obs), np.asarray(res_plain.obs),
+                               rtol=2e-3, atol=2e-3)
+    # floating-base dofs carry no actuation
+    np.testing.assert_allclose(np.asarray(tau_hist[:, :6]), 0.0, atol=1e-6)
+    # actuated joints produce nonzero SPD torques for a non-reference pose
+    assert float(jnp.max(jnp.abs(tau_hist))) > 1.0
+    log = env.torque_log(tau_hist)
+    # 8 spherical x 3 + 4 revolute = 28 named channels
+    assert len(log) == 28
+    assert {"right_knee", "left_knee", "right_elbow", "left_elbow"} <= set(log)
+    assert any(k.endswith("_x") for k in log)
+    for v in log.values():
+        assert v.shape == (env.frame_skip,)

@@ -170,3 +170,39 @@ def test_butterworth_attenuates_high_freq():
     y = so_fb_butter_lpf(lo + hi, fs=30.0, fc=6.0)
     # high-frequency content mostly removed
     assert np.abs(y - lo)[10:-10].max() < 0.12
+
+
+def test_stacked_zyx_round_trip():
+    """Spherical <-> stacked-3-revolute conversion (reference
+    deepmimic.py:193-206 and 659-676) is a bijection: random joint
+    quaternions + local angular velocities survive the round trip."""
+    import jax
+    from pfpn_tpu.math.euler_stack import (
+        spherical_to_stacked_zyx, stacked_zyx_to_spherical)
+    from pfpn_tpu.math import quaternion as quat
+
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    # keep pitch away from the gimbal singularity (cos(pitch) != 0)
+    q = quat.quat_normalize(jax.random.normal(k1, (64, 4)))
+    roll, pitch, yaw = quat.quat_to_euler_zyx(q)
+    ok = jnp.abs(jnp.cos(pitch)) > 0.2
+    w = 3.0 * jax.random.normal(k2, (64, 3))
+
+    angles, rates = spherical_to_stacked_zyx(q, w)
+    q2, w2 = stacked_zyx_to_spherical(angles, rates)
+    # quaternion double cover: compare up to sign
+    sign = jnp.sign(jnp.sum(q * q2, axis=-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray((q2 * sign)[ok]),
+                               np.asarray(q[ok]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2[ok]), np.asarray(w[ok]),
+                               rtol=1e-4, atol=1e-4)
+
+    # and the reverse direction: hinge states -> spherical -> hinge states
+    a0 = jnp.stack([yaw, pitch, roll], axis=-1)
+    q3, w3 = stacked_zyx_to_spherical(a0, rates)
+    a3, r3 = spherical_to_stacked_zyx(q3, w3)
+    np.testing.assert_allclose(np.asarray(a3[ok]), np.asarray(a0[ok]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r3[ok]), np.asarray(rates[ok]),
+                               rtol=1e-4, atol=1e-4)
