@@ -391,3 +391,44 @@ def test_recurrent_ppo_learns_memory_task():
         s, obs, res = env.step_autoreset(s, a, jax.random.split(k2, 64))
         total = total + res.reward
     assert float(jnp.mean(total)) > 0.6
+
+
+def test_sac_checkpoint_skips_replay_buffer(tmp_path):
+    """Checkpoints must not serialize the replay ring (1.7 GB at capacity;
+    the reference's Buffer lives outside the TF saver too) — and restore
+    must re-attach a fresh buffer (harness/checkpoint.py)."""
+    from pfpn_tpu.algos.sac import SAC, SACConfig
+    from pfpn_tpu.harness.checkpoint import CheckpointManager
+    from pfpn_tpu.networks import ACConfig, ActorCritic, GaussianHead
+
+    env = ToyEnv()
+    head = GaussianHead(action_dim=2, action_low=env.action_low,
+                        action_high=env.action_high, squash=True)
+    net = ActorCritic(ACConfig(
+        obs_dim=4, head=head, actor_shape=(16,), critic_shape=(16,),
+        normalize_state=False))
+    sac = SAC(env, net, SACConfig(
+        num_envs=2, batch_size=8, buffer_capacity=64, warmup=8,
+        steps_per_round=8))
+    state = sac.init_state(jax.random.PRNGKey(0))
+    state, _ = jax.jit(sac.train_round)(state)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(5, state)
+    ckpt.close()
+    # no multi-hundred-KB buffer blobs on disk
+    total = sum(f.stat().st_size for f in (tmp_path / "ck").rglob("*")
+                if f.is_file())
+    assert total < 5_000_000
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    template = sac.init_state(jax.random.PRNGKey(1))
+    restored = ckpt2.restore_latest(template)
+    ckpt2.close()
+    assert restored is not None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    # buffer is the template's fresh one
+    assert restored.buffer is not None
+    assert int(restored.buffer.size) == int(template.buffer.size)
