@@ -6,6 +6,12 @@ params, optimizer slots, normalizer stats, particle state + resample
 counters, env states and RNG keys (SURVEY.md §5 "Checkpoint / resume").
 Resume is implicit: restore_latest() on startup, like the chief's session
 bootstrap.
+
+The off-policy replay ring (SACState.buffer, ~1.7 GB device-resident at
+capacity 1e6) is NOT checkpointed — matching the reference, whose `Buffer`
+is a plain Python object outside the TF saver's variable set
+(workers/ddpg.py:11-27): resume restarts with an empty buffer. Saving it
+would also write gigabytes every 1000 optimizer steps.
 """
 
 from __future__ import annotations
@@ -15,6 +21,15 @@ from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+_SKIP_FIELDS = ("buffer",)
+
+
+def _strip(state: Any) -> Any:
+    """Replace non-checkpointed fields (replay ring) with None subtrees."""
+    repl = {f: None for f in _SKIP_FIELDS if hasattr(state, f)
+            and getattr(state, f) is not None}
+    return state.replace(**repl) if repl else state
 
 
 class CheckpointManager:
@@ -29,7 +44,7 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any):
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.save(step, args=ocp.args.StandardSave(_strip(state)))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -39,7 +54,12 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_strip(template)))
+        # re-attach the template's fresh (empty) versions of skipped fields
+        keep = {f: getattr(template, f) for f in _SKIP_FIELDS
+                if hasattr(template, f) and getattr(template, f) is not None}
+        return restored.replace(**keep) if keep else restored
 
     def close(self):
         self._mgr.close()

@@ -10,9 +10,11 @@ the tree's collision geoms (sphere centers, capsule end caps, box corners).
 Every substep all candidates are tested against the plane; inactive ones are
 masked. Constraint rows (normal + 2 tangents per point, plus revolute
 joint-limit rows) are assembled into a fixed-shape system and solved with a
-fixed-iteration projected Jacobi/SOR scheme on the Delassus operator
-A = J H^-1 J^T — compiler-friendly (no data-dependent shapes or early exit),
-mathematically the same complementarity problem Bullet's PGS targets.
+fixed-iteration sequential projected Gauss-Seidel sweep — Bullet's own
+sequential-impulse scheme, with static shapes and no early exit so it stays
+compiler-friendly. The Delassus matrix A = J H^-1 J^T is never materialized:
+each row relaxes against the incrementally-maintained velocity using only
+diag(A), and the sweep is unconditionally convergent for the PSD operator.
 
 Friction uses Bullet's multiplied combination rule: the reference sets lateral
 friction 0.9 on both the ground (deepmimic.py:387) and every link
@@ -37,13 +39,13 @@ class ContactParams:
     mu: float = 0.81            # combined friction (0.9 * 0.9, Bullet multiply rule)
     erp: float = 0.2            # Baumgarte position-correction factor
     slop: float = 0.001         # penetration slop (m)
-    # Fixed iteration count (Bullet's PGS default is 10; the projected
-    # gradient needs a few more). The per-row step is relaxation/rowsum_r —
-    # a Gershgorin bound on the Delassus spectrum — so the iteration cannot
-    # diverge even for fallen poses with 20+ strongly coupled contacts
-    # (plain Jacobi relaxation blows up there; found the hard way).
+    # Fixed sweep count (Bullet's PGS default is 10). Sequential
+    # Gauss-Seidel with the per-row step relaxation/diag_r is
+    # unconditionally convergent for the PSD Delassus operator — unlike the
+    # Jacobi variant it replaced, which needed a Gershgorin row-sum guard
+    # and still converged slower for fallen poses with coupled contacts.
     iterations: int = 16
-    relaxation: float = 1.0
+    relaxation: float = 1.0     # SOR factor
     # solve only the K deepest candidate points (static shape); walking
     # needs <= 16 (two flat feet = 16 box corners). None = all candidates.
     max_contacts: int | None = 16
@@ -241,18 +243,23 @@ def assemble_rows(
     # top-K deepest candidates -> fixed-size active set; Jacobians are only
     # computed for the selected points (the (ndof, np, 3) cross-product
     # tensors dominate row-assembly bandwidth)
+    # Jacobians act at the SURFACE contact point (center - radius*up for
+    # spheres/capsules; box corners have radius 0) — Bullet's contact point.
+    # Using the center would drop the lever arm: friction could not torque a
+    # rolling sphere (caught by test_sliding_ball_transitions_to_rolling).
+    x_surf = x.at[:, up].add(-jnp.asarray(cs.radius, dtype=jnp.float32))
     if params.max_contacts is not None and params.max_contacts < n_pts:
         k = params.max_contacts
         _, sel = jax.lax.top_k(-dist_all, k)
         dist = dist_all[sel]
         active = active_all[sel]
         mask_sel = jnp.asarray(cs.ancestor_mask, dtype=jnp.float32)[:, sel]
-        jp = point_jacobians(cs, fkr, x[sel], mask_sel)
+        jp = point_jacobians(cs, fkr, x_surf[sel], mask_sel)
         n_pts = k
     else:
         dist = dist_all
         active = active_all
-        jp = point_jacobians(cs, fkr, x)
+        jp = point_jacobians(cs, fkr, x_surf)
 
     # world-frame constraint directions for a static plane (y-up):
     #   normal = up axis; tangents = the two remaining axes (static!)
@@ -325,39 +332,52 @@ def solve(
              else cs.body.shape[0])
     n_lim = cs.limit_dof.shape[0]
 
-    # W = H^-1 J^T via the precomputed explicit inverse; the Delassus
-    # operator is applied matrix-free per iteration (A lam = J W lam) —
-    # cheaper than materializing the n_rows x n_rows matrix and far cheaper
-    # than XLA's batched triangular solves (see ops/linalg.py).
+    # W = H^-1 J^T via the precomputed explicit inverse
     w = jnp.matmul(h_inv, rows.T,
                    precision=jax.lax.Precision.HIGH)  # (ndof, n_rows), 3-pass bf16
-    # A only steers the fixed-point iteration (impulses apply through W),
-    # so single-pass precision is sufficient and 3x cheaper
-    a_mat = jnp.matmul(rows, w, precision=jax.lax.Precision.DEFAULT)
-    # spectrum-safe per-row step (see ContactParams.iterations comment)
-    rowsum = jnp.sum(jnp.abs(a_mat), axis=1) + params.cfm
-    step = params.relaxation / jnp.maximum(rowsum, 1e-9)
 
-    b = rows @ v_star - target
+    # Sequential projected Gauss-Seidel — Bullet's own sequential-impulse
+    # scheme (SURVEY.md §2.2): rows are relaxed one at a time against the
+    # *current* velocity (maintained incrementally, v = v* + W lam), so the
+    # Delassus matrix A is never materialized — only its diagonal is needed
+    # for the per-row step, and the iteration is unconditionally stable for
+    # the PSD A (no Gershgorin/row-sum guard, unlike the Jacobi variant this
+    # replaces). Friction rows see the same sweep's already-updated normal
+    # impulse, exactly like Bullet.
+    diag = jnp.sum(rows * w.T, axis=1) + params.cfm
+    step = params.relaxation / jnp.maximum(diag, 1e-9)
 
-    act_n = rs.act_n
-    act_t = act_n
-    act_l = rs.act_l
+    # static per-row projection tables: [K normals, K t1, K t2, L limits]
+    big = jnp.float32(1e30)
+    is_fric = np.zeros(n_rows, dtype=np.float32)
+    is_fric[n_pts:3 * n_pts] = 1.0
+    pair = np.concatenate([
+        np.arange(n_pts), np.arange(n_pts), np.arange(n_pts),
+        np.arange(3 * n_pts, n_rows),
+    ]).astype(np.int32)
+    is_fric = jnp.asarray(is_fric)
+    pair = jnp.asarray(pair)
+    act_row = jnp.concatenate(
+        [rs.act_n, rs.act_n, rs.act_n]
+        + ([rs.act_l] if n_lim else []))
     mu = params.mu
 
-    def body(_, lam):
-        upd = lam - step * (a_mat @ lam + b)
-        lam_n = jnp.maximum(upd[:n_pts], 0.0) * act_n
-        bound = mu * lam_n
-        lam_t1 = jnp.clip(upd[n_pts:2 * n_pts], -bound, bound) * act_t
-        lam_t2 = jnp.clip(upd[2 * n_pts:3 * n_pts], -bound, bound) * act_t
-        parts = [lam_n, lam_t1, lam_t2]
-        if n_lim:
-            parts.append(jnp.maximum(upd[3 * n_pts:], 0.0) * act_l)
-        return jnp.concatenate(parts)
+    def row_update(i, carry):
+        v, lam = carry
+        r = rows[i] @ v - target[i]
+        upd = lam[i] - step[i] * r
+        bound = mu * lam[pair[i]]
+        lo = jnp.where(is_fric[i] > 0, -bound, 0.0)
+        hi = jnp.where(is_fric[i] > 0, bound, big)
+        new = jnp.clip(upd, lo, hi) * act_row[i]
+        v = v + w[:, i] * (new - lam[i])
+        return v, lam.at[i].set(new)
 
-    lam = jax.lax.fori_loop(0, params.iterations, body, jnp.zeros(n_rows))
-    dv = w @ lam
+    def sweep(_, carry):
+        return jax.lax.fori_loop(0, n_rows, row_update, carry)
 
-    return ContactSolution(dv=dv, penetrating=rs.active_all,
+    v_new, lam = jax.lax.fori_loop(
+        0, params.iterations, sweep, (v_star, jnp.zeros(n_rows)))
+
+    return ContactSolution(dv=v_new - v_star, penetrating=rs.active_all,
                            link_contact=rs.link_contact)

@@ -280,3 +280,46 @@ def test_humanoid_standing_on_ground_stable(tree):
     assert float(jnp.linalg.norm(st.base_lin)) < 10.0
     # still roughly upright (started standing; may wobble but not collapse through floor)
     assert 0.2 < float(st.base_pos[1]) < 2.0
+
+
+def test_sliding_ball_transitions_to_rolling(tmp_path):
+    """Friction-cone analytic check for the sequential-impulse solver: a
+    solid sphere sliding at v0 on the plane (mu large enough to grip) must
+    end up ROLLING at 5/7 v0 — kinetic friction decelerates the center and
+    spins the ball until the contact point velocity vanishes, then friction
+    stops acting. Validates the tangential projection + normal coupling."""
+    path = tmp_path / "ball.urdf"
+    path.write_text("""
+<robot name="ball">
+  <link name="base">
+    <inertial><mass value="1.0"/></inertial>
+    <collision><geometry><sphere radius="0.1"/></geometry></collision>
+  </link>
+</robot>
+""")
+    tree = load_urdf(str(path))
+    eng = Engine(tree, EngineConfig(control_mode="torque"))
+    v0 = 0.5
+    st = zero_state(tree).replace(
+        base_pos=jnp.array([0.0, 0.1, 0.0]),   # resting on the surface
+        base_lin=jnp.array([v0, 0.0, 0.0]),
+    )
+    tq = jnp.zeros((0, 4))
+    tr = jnp.zeros(0)
+
+    @jax.jit
+    def rollout(s):
+        def body(s, _):
+            s = eng.substep(s, tq, tr, [])[0]
+            return s, s.base_pos[0]
+        return jax.lax.scan(body, s, None, length=900)
+
+    st, xs = rollout(st)  # 1.5 s at 600 Hz
+    xs = np.asarray(xs)
+    # steady speed over the last 0.5 s (rolling, no friction losses)
+    speed = (xs[-1] - xs[-300]) / (300 / 600.0)
+    np.testing.assert_allclose(speed, 5.0 / 7.0 * v0, rtol=0.03)
+    # and the slide phase dissipated exactly the slip: distance traveled is
+    # bounded between pure-rolling-from-start and frictionless
+    assert xs[-1] < v0 * 1.5
+    assert xs[-1] > 5.0 / 7.0 * v0 * 1.5 * 0.9
