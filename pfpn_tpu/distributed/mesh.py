@@ -26,7 +26,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (field name), never by shape: a parameter whose first dimension happens
 # to equal num_envs (e.g. a 512-wide trunk with 512 envs) must still
 # replicate, or the implicit gradient psum silently breaks.
-DATA_FIELDS = frozenset({"env_state", "obs", "ep_return", "last_ep_return"})
+# `carry` is the per-env LSTM (c, h) of the recurrent path (None elsewhere;
+# an empty subtree shards trivially).
+DATA_FIELDS = frozenset(
+    {"env_state", "obs", "ep_return", "last_ep_return", "carry"})
 
 
 def state_shardings(state, mesh: Mesh):

@@ -432,3 +432,44 @@ def test_sac_checkpoint_skips_replay_buffer(tmp_path):
     # buffer is the template's fresh one
     assert restored.buffer is not None
     assert int(restored.buffer.size) == int(template.buffer.size)
+
+
+def test_build_algo_recurrent_path():
+    """NetworkSettings.lstm selects the RecurrentActorCritic + RecurrentPPO
+    pair through the harness build path (episodic-training config surface)."""
+    import dataclasses
+    from pfpn_tpu.algos.recurrent import RecurrentPPO
+    from pfpn_tpu.harness.build import build_algo
+    from pfpn_tpu.harness.settings import build
+    from pfpn_tpu.networks.recurrent_ac import RecurrentActorCritic
+
+    cfg = build("deepmimic_dppo_pfpn", particles=8)
+    cfg = dataclasses.replace(
+        cfg, network=dataclasses.replace(cfg.network, lstm=32))
+    algo = build_algo(cfg)
+    assert isinstance(algo, RecurrentPPO)
+    assert isinstance(algo.net, RecurrentActorCritic)
+    assert algo.net.cfg.lstm_hidden == 32
+    state = algo.init_state(jax.random.PRNGKey(0))
+    assert state.carry is not None and state.carry.h.shape == (
+        cfg.num_envs, 32)
+
+
+def test_sharded_recurrent_ppo_on_virtual_mesh():
+    """The recurrent path trains on the data-parallel mesh: per-env LSTM
+    carry shards with the env batch (DATA_FIELDS includes 'carry'), params
+    replicate."""
+    from pfpn_tpu.distributed.mesh import default_mesh, make_sharded_ppo
+
+    n = min(8, len(jax.devices()))
+    mesh = default_mesh(n)
+    env, net, ppo = _make_recurrent_ppo(num_envs=4 * n, unroll=8,
+                                        minibatch=16 * n, epochs=1)
+    state, train_round = make_sharded_ppo(ppo, mesh, jax.random.PRNGKey(0))
+    if n > 1:
+        assert state.carry.h.sharding.spec == (
+            jax.sharding.PartitionSpec("data"))
+        assert jax.tree.leaves(state.params)[0].sharding.spec == (
+            jax.sharding.PartitionSpec())
+    state, metrics = train_round(state)
+    assert np.isfinite(float(metrics["loss"]))
