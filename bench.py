@@ -97,7 +97,7 @@ def measure_policy(batch: int, n_steps: int):
 
 def main():
     n_dev = len(jax.devices())
-    batch = int(os.environ.get("PFPN_BENCH_BATCH", 4096)) * n_dev
+    batch = int(os.environ.get("PFPN_BENCH_BATCH", 8192)) * n_dev
     n_steps = int(os.environ.get("PFPN_BENCH_STEPS", 15))
     # the remote TPU tunnel occasionally throws transient INVALID_ARGUMENT
     # errors (single-client backend); retry with a cooldown

@@ -18,9 +18,9 @@ control step with an in-kernel ``fori_loop`` so state never leaves VMEM:
                 per-motor torque clamp correction (control/spd.py semantics)
     contacts    candidate points vs ground plane, top-K selection by
                 iterative argmin (static tie-break epsilons), constraint
-                rows, sequential projected Gauss-Seidel sweeps (Bullet's
-                sequential impulses; diag(A) only — sim/contact.py
-                semantics) with the friction cone
+                rows, Delassus W/A, Gershgorin-stepped projected
+                Gauss-Seidel with the friction cone (sim/contact.py
+                semantics)
     integrate   semi-implicit Euler with exp-map quaternion updates,
                 +-100 velocity cap, revolute limit clamps (dynamics.advance)
 
@@ -362,7 +362,7 @@ def _make_kernel(meta: MegaMeta):
 
     def kernel(st_ref, tgt_sph_ref, tgt_rev_ref, cmask_ref,
                st_out, act_out, hist_out,
-               minv_scr, hinv_scr, rows_scr, w_scr):
+               minv_scr, hinv_scr, rows_scr, w_scr, a_scr):
         t = st_ref.shape[-1]
         zero1 = jnp.zeros((1, t), dtype=jnp.float32)
 
@@ -713,51 +713,40 @@ def _make_kernel(meta: MegaMeta):
             act_l = (jnp.concatenate(act_l_list, axis=0)
                      if m.n_lim else None)
 
-            # ============ W = Hinv J^T ; sequential projected GS ============
+            # ============ W = Hinv J^T ; A = J W ; PGS ============
+            # (projected Jacobi with the Gershgorin step: full-width
+            # (R, R, T) ops; a sequential-GS variant measured slower —
+            # see sim/contact.py)
             w_scr[...] = (hinv_scr[:, 0, :][:, None, :]
                           * rows_scr[:, 0, :][None, :, :])
             for kk in range(1, n):
                 w_scr[...] += (hinv_scr[:, kk, :][:, None, :]
                                * rows_scr[:, kk, :][None, :, :])
+            a_scr[...] = (rows_scr[:, 0, :][:, None, :]
+                          * w_scr[0][None, :, :])
+            for kk in range(1, n):
+                a_scr[...] += (rows_scr[:, kk, :][:, None, :]
+                               * w_scr[kk][None, :, :])
 
-            # per-row step from diag(A) only — the Delassus matrix is never
-            # materialized (sim/contact.py semantics: Bullet's sequential
-            # impulses; friction rows see this sweep's updated normal)
-            step_rows = []
-            for i in range(R):
-                d = jnp.sum(rows_scr[i] * w_scr[:, i, :], axis=0,
-                            keepdims=True)                     # (1, T)
-                step_rows.append(
-                    m.relaxation / jnp.maximum(d + m.cfm, 1e-9))
+            rowsum = jnp.sum(jnp.abs(a_scr[...]), axis=1) + m.cfm
+            step = m.relaxation / jnp.maximum(rowsum, 1e-9)
+            b_vec = jnp.sum(rows_scr[...] * v_star[None, :, :],
+                            axis=1) - target
 
-            act_rows = []
-            for i in range(R):
-                if i < 3 * K:
-                    act_rows.append(act_n[(i % K)][None, :])
-                else:
-                    act_rows.append(act_l[i - 3 * K][None, :])
+            lam = jnp.zeros((R, t), dtype=jnp.float32)
+            for _ in range(m.iterations):
+                alam = jnp.sum(a_scr[...] * lam[None, :, :], axis=1)
+                upd = lam - step * (alam + b_vec)
+                lam_n = jnp.maximum(upd[:K], 0.0) * act_n
+                bound = m.mu * lam_n
+                lam_t1 = jnp.clip(upd[K:2 * K], -bound, bound) * act_n
+                lam_t2 = jnp.clip(upd[2 * K:3 * K], -bound, bound) * act_n
+                parts = [lam_n, lam_t1, lam_t2]
+                if m.n_lim:
+                    parts.append(jnp.maximum(upd[3 * K:], 0.0) * act_l)
+                lam = jnp.concatenate(parts, axis=0)
 
-            lam0 = tuple(jnp.zeros((1, t), dtype=jnp.float32)
-                         for _ in range(R))
-
-            def gs_sweep(_, carry):
-                vv, lam = carry
-                lam = list(lam)
-                for i in range(R):
-                    r_i = jnp.sum(rows_scr[i] * vv, axis=0,
-                                  keepdims=True) - target[i][None, :]
-                    upd = lam[i] - step_rows[i] * r_i
-                    if K <= i < 3 * K:
-                        bound = m.mu * lam[i % K]
-                        new = jnp.clip(upd, -bound, bound) * act_rows[i]
-                    else:
-                        new = jnp.maximum(upd, 0.0) * act_rows[i]
-                    vv = vv + w_scr[:, i, :] * (new - lam[i])
-                    lam[i] = new
-                return vv, tuple(lam)
-
-            v_new, _ = jax.lax.fori_loop(0, m.iterations, gs_sweep,
-                                         (v_star, lam0))
+            v_new = v_star + jnp.sum(w_scr[...] * lam[None, :, :], axis=1)
             v_new = jnp.clip(v_new, -100.0, 100.0)
 
             # ============ integrate (dynamics.advance semantics) ============
@@ -927,6 +916,7 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
             pltpu.VMEM((n, n, tile), jnp.float32),
             pltpu.VMEM((R, n, tile), jnp.float32),
             pltpu.VMEM((n, R, tile), jnp.float32),
+            pltpu.VMEM((R, R, tile), jnp.float32),
         ],
         interpret=interpret,
     )(st_l, ts_l, tr_l, cmask_j)

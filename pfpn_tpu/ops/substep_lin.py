@@ -21,10 +21,9 @@ and the Bullet-style PGS of sim/contact.py):
   dtau = clamp_motors(tau) - tau             per-motor torque limits
   Hinv = (H + eps)^-1                        second sweep
   v*   = v + dt (a + Hinv dtau)
-  W    = Hinv J^T
-  v'   = sequential projected Gauss-Seidel sweeps over the rows
-         (sim/contact.py semantics: Bullet's sequential impulses; only
-         diag(A) is formed, never the full Delassus matrix)
+  W    = Hinv J^T,  A = J W                  Delassus operator
+  lam  = PGS(A, J v* - target)               fixed iterations, friction cone
+  v'   = v* + W lam
 
 The public entry :func:`substep_core` is a ``custom_vmap``: unbatched it
 runs a plain-JAX reference implementation (Cholesky solves — used on CPU and
@@ -87,16 +86,16 @@ def _clamp_dtau(meta: SubstepMeta, tau: jnp.ndarray) -> jnp.ndarray:
     return dtau
 
 
-def _gs_tables(meta: SubstepMeta):
-    """Static per-row projection tables for the sequential sweep:
-    row layout [K normals, K t1, K t2, L limits]."""
-    k, r = meta.n_contacts, meta.n_rows
-    is_fric = np.zeros(r, dtype=np.float32)
-    is_fric[k:3 * k] = 1.0
-    pair = np.concatenate([
-        np.arange(k), np.arange(k), np.arange(k), np.arange(3 * k, r),
-    ]).astype(np.int32)
-    return is_fric, pair
+def _pgs_project(meta: SubstepMeta, upd, act_n, act_l):
+    k, l = meta.n_contacts, meta.n_limits
+    lam_n = jnp.maximum(upd[..., :k], 0.0) * act_n
+    bound = meta.mu * lam_n
+    lam_t1 = jnp.clip(upd[..., k:2 * k], -bound, bound) * act_n
+    lam_t2 = jnp.clip(upd[..., 2 * k:3 * k], -bound, bound) * act_n
+    parts = [lam_n, lam_t1, lam_t2]
+    if l:
+        parts.append(jnp.maximum(upd[..., 3 * k:], 0.0) * act_l)
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _substep_core_reference(meta: SubstepMeta, h, f, kpe, v, rows, target,
@@ -112,39 +111,22 @@ def _substep_core_reference(meta: SubstepMeta, h, f, kpe, v, rows, target,
     qdd = a + cho_solve(h_ch, dtau)
     v_star = v + meta.dt * qdd
 
-    # sequential projected Gauss-Seidel (sim/contact.py semantics): relax
-    # each row against the incrementally maintained velocity; only diag(A)
-    # is needed
+    # projected Jacobi/SOR with the Gershgorin-safe step (sim/contact.py
+    # semantics; a sequential-GS variant measured slower on TPU — see the
+    # note there)
     w = cho_solve(h_ch, rows.T)                    # (n, R)
-    diag = jnp.sum(rows * w.T, axis=1) + meta.cfm
-    step = meta.relaxation / jnp.maximum(diag, 1e-9)
+    a_mat = rows @ w                               # (R, R)
+    rowsum = jnp.sum(jnp.abs(a_mat), axis=1) + meta.cfm
+    step = meta.relaxation / jnp.maximum(rowsum, 1e-9)
+    b = rows @ v_star - target
 
-    is_fric_np, pair_np = _gs_tables(meta)
-    is_fric = jnp.asarray(is_fric_np)
-    pair = jnp.asarray(pair_np)
-    act_row = jnp.concatenate(
-        [act_n, act_n, act_n]
-        + ([act_l] if meta.n_limits else []))
-    big = jnp.asarray(1e30, dtype=h.dtype)
+    def body(_, lam):
+        upd = lam - step * (a_mat @ lam + b)
+        return _pgs_project(meta, upd, act_n, act_l)
 
-    def row_update(i, carry):
-        vv, lam = carry
-        r_i = rows[i] @ vv - target[i]
-        upd = lam[i] - step[i] * r_i
-        bound = meta.mu * lam[pair[i]]
-        lo = jnp.where(is_fric[i] > 0, -bound, 0.0)
-        hi = jnp.where(is_fric[i] > 0, bound, big)
-        new = jnp.clip(upd, lo, hi) * act_row[i]
-        vv = vv + w[:, i] * (new - lam[i])
-        return vv, lam.at[i].set(new)
-
-    def sweep(_, carry):
-        return jax.lax.fori_loop(0, meta.n_rows, row_update, carry)
-
-    v_new, _ = jax.lax.fori_loop(
-        0, meta.iterations, sweep,
-        (v_star, jnp.zeros(meta.n_rows, dtype=h.dtype)))
-    return v_new
+    lam = jax.lax.fori_loop(0, meta.iterations, body,
+                            jnp.zeros(meta.n_rows, dtype=h.dtype))
+    return v_star + w @ lam
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +160,7 @@ def _make_kernel(meta: SubstepMeta):
         return acc
 
     def kernel(h_ref, f_ref, kpe_ref, v_ref, j_ref, tgt_ref, actn_ref,
-               actl_ref, out_ref, m_scr, hinv_scr, w_scr):
+               actl_ref, out_ref, m_scr, hinv_scr, w_scr, a_scr):
         t = h_ref.shape[-1]
 
         # ---- Minv = (H + diag(kd dt) + eps)^-1; a = Minv f --------------
@@ -223,46 +205,34 @@ def _make_kernel(meta: SubstepMeta):
         for kk in range(1, n):
             w_scr[...] += hinv_scr[:, kk, :][:, None, :] * j_ref[:, kk, :][None, :, :]
 
-        # ---- sequential projected Gauss-Seidel ----------------------------
-        # (sim/contact.py semantics: no Delassus matrix — rows relax one at
-        # a time against the maintained velocity; friction rows see this
-        # sweep's already-updated normal impulse, like Bullet)
-        step_rows = []
-        for i in range(r):
-            d = jnp.sum(j_ref[i] * w_scr[:, i, :], axis=0,
-                        keepdims=True)                        # (1, T)
-            step_rows.append(
-                meta.relaxation / jnp.maximum(d + meta.cfm, 1e-9))
+        # ---- A = J W  (R, R, T) -------------------------------------------
+        a_scr[...] = j_ref[:, 0, :][:, None, :] * w_scr[0][None, :, :]
+        for kk in range(1, n):
+            a_scr[...] += j_ref[:, kk, :][:, None, :] * w_scr[kk][None, :, :]
 
-        is_fric_np, pair_np = _gs_tables(meta)
-        act_rows = []
-        for i in range(r):
-            if i < 3 * k_c:
-                act_rows.append(actn_ref[pair_np[i]][None, :])
-            else:
-                act_rows.append(actl_ref[i - 3 * k_c][None, :])
+        rowsum = jnp.sum(jnp.abs(a_scr[...]), axis=1) + meta.cfm
+        step = meta.relaxation / jnp.maximum(rowsum, 1e-9)
+        b = jnp.sum(j_ref[...] * v_star[None, :, :], axis=1) - tgt_ref[...]
 
-        lam0 = tuple(jnp.zeros((1, t), dtype=jnp.float32) for _ in range(r))
+        # ---- PGS (projected Jacobi, full-width (R, R, T) ops — a
+        # sequential-GS variant measured slower, see sim/contact.py) --------
+        act_n = actn_ref[...]
+        act_l = actl_ref[...] if meta.n_limits else None
+        lam = jnp.zeros((r, t), dtype=jnp.float32)
+        for _ in range(meta.iterations):
+            alam = jnp.sum(a_scr[...] * lam[None, :, :], axis=1)
+            upd = lam - step * (alam + b)
+            lam_n = jnp.maximum(upd[:k_c], 0.0) * act_n
+            bound = meta.mu * lam_n
+            lam_t1 = jnp.clip(upd[k_c:2 * k_c], -bound, bound) * act_n
+            lam_t2 = jnp.clip(upd[2 * k_c:3 * k_c], -bound, bound) * act_n
+            parts = [lam_n, lam_t1, lam_t2]
+            if meta.n_limits:
+                parts.append(jnp.maximum(upd[3 * k_c:], 0.0) * act_l)
+            lam = jnp.concatenate(parts, axis=0)
 
-        def gs_sweep(_, carry):
-            vv, lam = carry
-            lam = list(lam)
-            for i in range(r):
-                r_i = jnp.sum(j_ref[i] * vv, axis=0,
-                              keepdims=True) - tgt_ref[i][None, :]
-                upd = lam[i] - step_rows[i] * r_i
-                if is_fric_np[i] > 0:
-                    bound = meta.mu * lam[pair_np[i]]
-                    new = jnp.clip(upd, -bound, bound) * act_rows[i]
-                else:
-                    new = jnp.maximum(upd, 0.0) * act_rows[i]
-                vv = vv + w_scr[:, i, :] * (new - lam[i])
-                lam[i] = new
-            return vv, tuple(lam)
-
-        v_new, _ = jax.lax.fori_loop(0, meta.iterations, gs_sweep,
-                                     (v_star, lam0))
-        out_ref[...] = v_new
+        dv = jnp.sum(w_scr[...] * lam[None, :, :], axis=1)
+        out_ref[...] = v_star + dv
 
     return kernel
 
@@ -319,6 +289,7 @@ def _substep_core_pallas(meta: SubstepMeta, h, f, kpe, v, rows, target,
             pltpu.VMEM((n, n, tile), jnp.float32),
             pltpu.VMEM((n, n, tile), jnp.float32),
             pltpu.VMEM((n, r, tile), jnp.float32),
+            pltpu.VMEM((r, r, tile), jnp.float32),
         ],
         interpret=interpret,
     )(h_l, f_l, kpe_l, v_l, j_l, tgt_l, actn_l, actl_l)

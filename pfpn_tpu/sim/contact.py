@@ -332,52 +332,41 @@ def solve(
              else cs.body.shape[0])
     n_lim = cs.limit_dof.shape[0]
 
-    # W = H^-1 J^T via the precomputed explicit inverse
+    # W = H^-1 J^T via the precomputed explicit inverse; the Delassus
+    # operator is materialized because the Gershgorin step needs |A| row
+    # sums. (A sequential Gauss-Seidel variant — Bullet's exact scheme, no A
+    # matrix — was implemented and benchmarked: its per-row dependency chain
+    # serializes the VPU and measured 17% SLOWER end-to-end than these
+    # full-width (R, R, lanes) ops, so the Jacobi form stays.)
     w = jnp.matmul(h_inv, rows.T,
                    precision=jax.lax.Precision.HIGH)  # (ndof, n_rows), 3-pass bf16
+    # A only steers the fixed-point iteration (impulses apply through W),
+    # so single-pass precision is sufficient and 3x cheaper
+    a_mat = jnp.matmul(rows, w, precision=jax.lax.Precision.DEFAULT)
+    # spectrum-safe per-row step (see ContactParams.iterations comment)
+    rowsum = jnp.sum(jnp.abs(a_mat), axis=1) + params.cfm
+    step = params.relaxation / jnp.maximum(rowsum, 1e-9)
 
-    # Sequential projected Gauss-Seidel — Bullet's own sequential-impulse
-    # scheme (SURVEY.md §2.2): rows are relaxed one at a time against the
-    # *current* velocity (maintained incrementally, v = v* + W lam), so the
-    # Delassus matrix A is never materialized — only its diagonal is needed
-    # for the per-row step, and the iteration is unconditionally stable for
-    # the PSD A (no Gershgorin/row-sum guard, unlike the Jacobi variant this
-    # replaces). Friction rows see the same sweep's already-updated normal
-    # impulse, exactly like Bullet.
-    diag = jnp.sum(rows * w.T, axis=1) + params.cfm
-    step = params.relaxation / jnp.maximum(diag, 1e-9)
+    b = rows @ v_star - target
 
-    # static per-row projection tables: [K normals, K t1, K t2, L limits]
-    big = jnp.float32(1e30)
-    is_fric = np.zeros(n_rows, dtype=np.float32)
-    is_fric[n_pts:3 * n_pts] = 1.0
-    pair = np.concatenate([
-        np.arange(n_pts), np.arange(n_pts), np.arange(n_pts),
-        np.arange(3 * n_pts, n_rows),
-    ]).astype(np.int32)
-    is_fric = jnp.asarray(is_fric)
-    pair = jnp.asarray(pair)
-    act_row = jnp.concatenate(
-        [rs.act_n, rs.act_n, rs.act_n]
-        + ([rs.act_l] if n_lim else []))
+    act_n = rs.act_n
+    act_t = act_n
+    act_l = rs.act_l
     mu = params.mu
 
-    def row_update(i, carry):
-        v, lam = carry
-        r = rows[i] @ v - target[i]
-        upd = lam[i] - step[i] * r
-        bound = mu * lam[pair[i]]
-        lo = jnp.where(is_fric[i] > 0, -bound, 0.0)
-        hi = jnp.where(is_fric[i] > 0, bound, big)
-        new = jnp.clip(upd, lo, hi) * act_row[i]
-        v = v + w[:, i] * (new - lam[i])
-        return v, lam.at[i].set(new)
+    def body(_, lam):
+        upd = lam - step * (a_mat @ lam + b)
+        lam_n = jnp.maximum(upd[:n_pts], 0.0) * act_n
+        bound = mu * lam_n
+        lam_t1 = jnp.clip(upd[n_pts:2 * n_pts], -bound, bound) * act_t
+        lam_t2 = jnp.clip(upd[2 * n_pts:3 * n_pts], -bound, bound) * act_t
+        parts = [lam_n, lam_t1, lam_t2]
+        if n_lim:
+            parts.append(jnp.maximum(upd[3 * n_pts:], 0.0) * act_l)
+        return jnp.concatenate(parts)
 
-    def sweep(_, carry):
-        return jax.lax.fori_loop(0, n_rows, row_update, carry)
+    lam = jax.lax.fori_loop(0, params.iterations, body, jnp.zeros(n_rows))
+    dv = w @ lam
 
-    v_new, lam = jax.lax.fori_loop(
-        0, params.iterations, sweep, (v_star, jnp.zeros(n_rows)))
-
-    return ContactSolution(dv=v_new - v_star, penetrating=rs.active_all,
+    return ContactSolution(dv=dv, penetrating=rs.active_all,
                            link_contact=rs.link_contact)
