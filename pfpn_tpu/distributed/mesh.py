@@ -69,3 +69,42 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def init_distributed() -> bool:
+    """Multi-host (DCN) entry: join the jax.distributed cluster when the
+    standard coordinator env vars are present, so `jax.devices()` spans all
+    hosts and `default_mesh()` becomes a global data mesh.
+
+    Replaces the reference's gRPC ClusterSpec/Server formation
+    (distributed_model.py:552-554) the JAX way: call once per host before
+    any backend use; afterwards the existing GSPMD path works unchanged —
+    the data axis shards over every chip in the slice, gradient all-reduce
+    rides ICI within a host and DCN across hosts (SURVEY.md §5
+    "distributed communication backend").
+
+    Reads (either naming scheme):
+      JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS  host:port of process 0
+      JAX_NUM_PROCESSES / NUM_PROCESSES              world size
+      JAX_PROCESS_ID / PROCESS_ID                    this host's rank
+
+    Returns True if the cluster was joined, False when the env vars are
+    absent (single-host: the normal case on this rig). UNTESTED on real
+    multi-host hardware — this rig exposes one chip behind a tunnel; the
+    single-host GSPMD path it feeds is exercised by the virtual-mesh tests
+    and the driver dryrun.
+    """
+    import os
+
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return False
+    nproc = os.environ.get("JAX_NUM_PROCESSES", os.environ.get("NUM_PROCESSES"))
+    pid = os.environ.get("JAX_PROCESS_ID", os.environ.get("PROCESS_ID"))
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )
+    return True

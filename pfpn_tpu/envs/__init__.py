@@ -1,1 +1,2 @@
 from . import assets  # noqa: F401
+from .gym_adapter import Box, Env, GymEnv  # noqa: F401

@@ -93,6 +93,17 @@ def build_net(cfg: RunConfig, env) -> ActorCritic:
 def build_algo(cfg: RunConfig):
     env = build_env(cfg)
     net = build_net(cfg, env)
+    # normalize_value is threaded into act/value/loss only by the PPO/A2C
+    # paths (value_norm state carried in PPOState); SAC/V-trace/recurrent
+    # would silently ignore it (value() with vnorm=None returns the raw
+    # critic output) while clip_value still applies — refuse the silent
+    # config no-op (ADVICE r2; mirrors RecurrentPPO's assert).
+    if cfg.network.normalize_value and (
+            cfg.algo not in ("ppo", "a2c") or cfg.network.lstm):
+        raise ValueError(
+            "normalize_value=True is only supported for the feed-forward "
+            f"ppo/a2c paths, not algo={cfg.algo!r}"
+            f"{' with lstm' if cfg.network.lstm else ''}")
     if cfg.algo == "ppo" and cfg.network.lstm:
         from ..algos.ppo import PPOConfig
         from ..algos.recurrent import RecurrentPPO

@@ -35,6 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-host DCN: join the jax.distributed cluster first when the
+    # coordinator env vars are present (no-op single-host; must run before
+    # any backend use so jax.devices() spans the slice)
+    from ..distributed.mesh import init_distributed
+    if init_distributed():
+        import jax
+        print(f"[SYSTEM] joined jax.distributed cluster: "
+              f"process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices", flush=True)
     from .settings import build
     import dataclasses
 
@@ -44,7 +53,8 @@ def main(argv=None):
         env_multiplier=args.env_multiplier,
     )
     cfg = dataclasses.replace(
-        cfg, save_checkpoint_interval=args.save_checkpoint_interval
+        cfg, save_checkpoint_interval=args.save_checkpoint_interval,
+        suffix=args.suffix,
     )
 
     if args.train:

@@ -73,6 +73,9 @@ class RunConfig:
     seed: int = 1
     max_samples: int = 15_000_000
     save_checkpoint_interval: int = 1000   # optimizer steps (main.py:23)
+    # run-dir suffix (reference main.py:45-53: "_<suffix>" appended after
+    # the particle tag)
+    suffix: str = ""
     # TPU scaling knobs (beyond reference parity)
     env_multiplier: int = 1           # scale envs & minibatch together
 
@@ -86,17 +89,19 @@ class RunConfig:
         `batch_size` samples each -> effective minibatch workers*batch."""
         return self.worker.batch_size * self.workers * self.env_multiplier
 
-    def checkpoint_dir(self, root: str = ".") -> str:
+    def _dir_suffix(self) -> str:
         suffix = ""
         if self.head.kind in ("particle", "discrete") and self.head.particles:
             suffix = f"_particle{self.head.particles}"
-        return f"{root}/ckpt_{self.env}/{self.name}{suffix}/{self.seed}"
+        if self.suffix:
+            suffix += f"_{self.suffix}"
+        return suffix
+
+    def checkpoint_dir(self, root: str = ".") -> str:
+        return f"{root}/ckpt_{self.env}/{self.name}{self._dir_suffix()}/{self.seed}"
 
     def log_dir(self, root: str = ".") -> str:
-        suffix = ""
-        if self.head.kind in ("particle", "discrete") and self.head.particles:
-            suffix = f"_particle{self.head.particles}"
-        return f"{root}/log_{self.env}/{self.name}{suffix}/{self.seed}"
+        return f"{root}/log_{self.env}/{self.name}{self._dir_suffix()}/{self.seed}"
 
 
 # ---------------------------------------------------------------------------

@@ -90,43 +90,47 @@ def train(cfg: RunConfig, root: str = ".",
             try:
                 out = evaluate(state.params, state.norm, k)
             except Exception as e:  # transient backend errors must not kill training
+                # NOTE: must fall through — the checkpoint block below still
+                # has to run on this round (a flaky evaluator must not starve
+                # checkpoints on a flaky tunnel; tests/test_harness.py)
                 print(f"[SYSTEM] evaluator failed ({type(e).__name__}); skipping",
                       flush=True)
-                continue
-            rew = np.asarray(out["reward"])
-            frames = np.asarray(out["frames"])
-            eval_reward_sum += float(rew.sum())
-            eval_reward_n += rew.size
-            reward_avg = eval_reward_sum / eval_reward_n
-            logger.log(step, {
-                "reward": rew.mean(), "reward_avg": reward_avg,
-                "reward_max": rew.max(),
-                "reward_min": rew.min(), "frames": frames.mean(),
-                "samples": float(state.total_samples),
-            }, prefix="performance_test/")
-            if verbose:
-                print(f"[PERFORM] step {step} reward {rew.mean():.2f} "
-                      f"(avg {reward_avg:.2f} min {rew.min():.2f} "
-                      f"max {rew.max():.2f}) "
-                      f"frames {frames.mean():.0f}", flush=True)
-            # per-dimension particle/action histograms (reference
-            # a2c.py:336-344 via models/utils.py:17-31)
-            hists = {}
-            head = (state.params.get("head", {})
-                    if isinstance(state.params, dict) else {})
-            if "particles" in head:
-                hists["particle/loc"] = np.asarray(head["particles"])
-                ls = head.get("particles_log_std",
-                              head.get("particles_log_std_fixed"))
-                if ls is not None:
-                    hists["particle/std"] = np.exp(np.asarray(ls))
-            try:
-                hists["action"] = np.asarray(algo.net.act_deterministic(
-                    state.params, state.norm, state.obs))
-            except Exception:
-                pass
-            if hists:
-                logger.log_histograms(step, hists, prefix="train/")
+                out = None
+            if out is not None:
+                rew = np.asarray(out["reward"])
+                frames = np.asarray(out["frames"])
+                eval_reward_sum += float(rew.sum())
+                eval_reward_n += rew.size
+                reward_avg = eval_reward_sum / eval_reward_n
+                logger.log(step, {
+                    "reward": rew.mean(), "reward_avg": reward_avg,
+                    "reward_max": rew.max(),
+                    "reward_min": rew.min(), "frames": frames.mean(),
+                    "samples": float(state.total_samples),
+                }, prefix="performance_test/")
+                if verbose:
+                    print(f"[PERFORM] step {step} reward {rew.mean():.2f} "
+                          f"(avg {reward_avg:.2f} min {rew.min():.2f} "
+                          f"max {rew.max():.2f}) "
+                          f"frames {frames.mean():.0f}", flush=True)
+                # per-dimension particle/action histograms (reference
+                # a2c.py:336-344 via models/utils.py:17-31)
+                hists = {}
+                head = (state.params.get("head", {})
+                        if isinstance(state.params, dict) else {})
+                if "particles" in head:
+                    hists["particle/loc"] = np.asarray(head["particles"])
+                    ls = head.get("particles_log_std",
+                                  head.get("particles_log_std_fixed"))
+                    if ls is not None:
+                        hists["particle/std"] = np.exp(np.asarray(ls))
+                try:
+                    hists["action"] = np.asarray(algo.net.act_deterministic(
+                        state.params, state.norm, state.obs))
+                except Exception:
+                    pass
+                if hists:
+                    logger.log_histograms(step, hists, prefix="train/")
 
         if step - last_ckpt_step >= cfg.save_checkpoint_interval:
             ckpt.save(step, state)

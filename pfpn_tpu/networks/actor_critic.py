@@ -28,6 +28,26 @@ from .heads import CategoricalHead, GaussianHead, ParticleHead
 from .mlp import apply_mlp, init_mlp, truncated_normal_init
 
 
+@jax.custom_vjp
+def _clip_with_gradient(x, lo, hi):
+    """Straight-through clip: hard clip forward, identity gradient backward
+    (reference networks/ops.py:4-9 clip_by_value_with_gradient) — a critic
+    output outside the clip band keeps a nonzero value-loss gradient and can
+    recover."""
+    return jnp.clip(x, lo, hi)
+
+
+def _clip_fwd(x, lo, hi):
+    return jnp.clip(x, lo, hi), None
+
+
+def _clip_bwd(_, g):
+    return (g, None, None)
+
+
+_clip_with_gradient.defvjp(_clip_fwd, _clip_bwd)
+
+
 @dataclasses.dataclass(frozen=True)
 class ACConfig:
     obs_dim: int
@@ -120,7 +140,10 @@ class ActorCritic:
         if self.cfg.normalize_value and vnorm is not None:
             v = v * vnorm.scale + vnorm.offset
         if self.cfg.clip_value:
-            v = jnp.clip(v, -self.cfg.clip_value, self.cfg.clip_value)
+            # straight-through (actor_critic.py:96-135 clips the value path
+            # with clip_by_value_with_gradient, not a hard clip)
+            v = _clip_with_gradient(v, -self.cfg.clip_value,
+                                    self.cfg.clip_value)
         return v
 
     def value(self, params, norm, obs, vnorm=None):

@@ -19,7 +19,7 @@ control step with an in-kernel ``fori_loop`` so state never leaves VMEM:
     contacts    candidate points vs ground plane, top-K selection by
                 iterative argmin (static tie-break epsilons), constraint
                 rows, Delassus W/A, Gershgorin-stepped projected
-                Gauss-Seidel with the friction cone (sim/contact.py
+                Jacobi with the friction cone (sim/contact.py
                 semantics)
     integrate   semi-implicit Euler with exp-map quaternion updates,
                 +-100 velocity cap, revolute limit clamps (dynamics.advance)

@@ -10,11 +10,14 @@ the tree's collision geoms (sphere centers, capsule end caps, box corners).
 Every substep all candidates are tested against the plane; inactive ones are
 masked. Constraint rows (normal + 2 tangents per point, plus revolute
 joint-limit rows) are assembled into a fixed-shape system and solved with a
-fixed-iteration sequential projected Gauss-Seidel sweep — Bullet's own
-sequential-impulse scheme, with static shapes and no early exit so it stays
-compiler-friendly. The Delassus matrix A = J H^-1 J^T is never materialized:
-each row relaxes against the incrementally-maintained velocity using only
-diag(A), and the sweep is unconditionally convergent for the PSD operator.
+fixed-iteration *projected Jacobi* sweep: the Delassus matrix A = J H^-1 J^T
+is materialized and every row takes a simultaneous step of size
+relaxation / (Gershgorin row sum of |A|), which is spectrum-safe for any
+contact coupling. A sequential projected Gauss-Seidel variant (Bullet's exact
+sequential-impulse scheme, no A matrix, no Gershgorin guard needed) was
+implemented and benchmarked — its per-row dependency chain serializes the
+TPU VPU and measured 17% slower end-to-end (commit d0ca52a), so the Jacobi
+form is the one in use. Do not re-attempt GS without profiling.
 
 Friction uses Bullet's multiplied combination rule: the reference sets lateral
 friction 0.9 on both the ground (deepmimic.py:387) and every link
@@ -39,11 +42,14 @@ class ContactParams:
     mu: float = 0.81            # combined friction (0.9 * 0.9, Bullet multiply rule)
     erp: float = 0.2            # Baumgarte position-correction factor
     slop: float = 0.001         # penetration slop (m)
-    # Fixed sweep count (Bullet's PGS default is 10). Sequential
-    # Gauss-Seidel with the per-row step relaxation/diag_r is
-    # unconditionally convergent for the PSD Delassus operator — unlike the
-    # Jacobi variant it replaced, which needed a Gershgorin row-sum guard
-    # and still converged slower for fallen poses with coupled contacts.
+    # Fixed sweep count (Bullet's PGS default is 10). The solver is
+    # projected *Jacobi* with a Gershgorin row-sum step: plain Jacobi
+    # relaxation >= 0.45 diverges for fallen poses with many coupled
+    # contacts and NaNs entire training runs (found the hard way — see
+    # CLAUDE.md "Physics invariants"), so the per-row step is
+    # relaxation / sum_j |A_ij|, which bounds the iteration spectrum for
+    # any contact clustering. 16 iterations ~ matches Bullet's resting
+    # stack behaviour for the walking contact set.
     iterations: int = 16
     relaxation: float = 1.0     # SOR factor
     # solve only the K deepest candidate points (static shape); walking

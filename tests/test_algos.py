@@ -113,6 +113,7 @@ class ToyEnv:
         return jnp.zeros(4)
 
 
+@pytest.mark.slow
 def test_ppo_learns_on_toy_mdp():
     """PPO with the PFPN head improves return on the toy MDP (convergence
     sanity, SURVEY.md §4 'algorithm tests on toy MDPs')."""
@@ -243,6 +244,7 @@ def test_value_norm_update_preserves_denormalized_outputs():
     assert abs(float(state.mean)) > 0.01 and abs(float(state.std) - 1.0) > 0.01
 
 
+@pytest.mark.slow
 def test_ppo_learns_with_value_normalization():
     """normalize_value=True end-to-end: the critic regresses normalized
     targets yet PPO still converges on the toy MDP, with rewards scaled so
@@ -370,6 +372,7 @@ def test_recurrent_sequence_recompute_matches_rollout():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_recurrent_ppo_learns_memory_task():
     """A recurrent policy learns the cue-recall task (expected reward > 0.6;
     any memoryless policy is capped at 0) — the end-to-end episodic/LSTM
@@ -473,3 +476,13 @@ def test_sharded_recurrent_ppo_on_virtual_mesh():
             jax.sharding.PartitionSpec())
     state, metrics = train_round(state)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    """init_distributed() is a no-op (returns False) when no coordinator env
+    vars are present — the single-host path must be unaffected."""
+    from pfpn_tpu.distributed.mesh import init_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False

@@ -182,3 +182,71 @@ def test_torque_log_channel(env):
     assert any(k.endswith("_x") for k in log)
     for v in log.values():
         assert v.shape == (env.frame_skip,)
+
+
+def test_gym_adapter_stateful_surface():
+    """Stateful gym-API adapter (reference envs/gym_api/env.py:1-29,
+    spaces.py:51-65): reset()->obs, step->(obs, r, done, info) with the
+    TimeLimit.truncated info key, mutable Box spaces."""
+    import numpy as np
+
+    from pfpn_tpu.envs.gym_adapter import Box, GymEnv
+
+    genv = GymEnv(make("DeepMimicWalk-v0", overtime=0.05,
+                       random_init_pose=False), seed=3)
+    assert isinstance(genv.action_space, Box)
+    assert isinstance(genv.observation_space, Box)
+    assert genv.action_space.shape == (genv.action_size,)
+    assert genv.observation_space.shape == (genv.observation_size,)
+    # Box attributes are plain mutable fields (settings/wrappers.py:7-12)
+    genv.action_space.shape = [7] * genv.action_size
+    del genv.action_space.low, genv.action_space.high
+
+    obs = genv.reset()
+    assert obs.shape == (genv.observation_size,)
+    a = np.zeros(genv.action_size, dtype=np.float32)
+    done, info = False, {}
+    for _ in range(3):
+        obs, r, done, info = genv.step(a)
+        assert obs.shape == (genv.observation_size,)
+        assert 0.0 <= r <= 1.0
+        if done:
+            break
+    assert done and info["TimeLimit.truncated"] is True  # overtime=0.05
+
+    # seed() controls the reset RNG stream deterministically
+    genv2 = GymEnv(make("DeepMimicWalk-v0"), seed=5)
+    o1 = genv2.reset()
+    genv2.seed(5)
+    o2 = genv2.reset()
+    np.testing.assert_allclose(o1, o2)
+
+
+def test_ref_table_reward_matches_exact_fk():
+    """The dense phase-table reference FK (600 Hz lerp) must reproduce the
+    exact per-step reference FK reward (deepmimic.py:594-753) to
+    interpolation tolerance, including with a nonzero cycle-wrap offset."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    env_tbl = make("DeepMimicWalk-v0")
+    env_exact = make("DeepMimicWalk-v0", exact_ref_reward=True)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    states, _ = env_tbl.reset_batch(keys)
+    # random actions + a few steps to decorrelate sim from the reference
+    a = jax.random.uniform(
+        jax.random.PRNGKey(1), (8, env_tbl.action_size), minval=-0.3, maxval=0.3)
+    for _ in range(3):
+        res = env_tbl.step_batch(states, a)
+        states = res.state
+    # inject a horizontal offset like a cycle wrap would
+    states = states.replace(
+        ref_pos_offset=jnp.tile(jnp.array([0.7, 0.0, -0.3]), (8, 1)))
+
+    term = jnp.zeros(8, dtype=bool)
+    r_tbl = jax.vmap(env_tbl.reward)(states, term)
+    r_exact = jax.vmap(env_exact.reward)(states, term)
+    np.testing.assert_allclose(
+        np.asarray(r_tbl), np.asarray(r_exact), atol=2e-4)

@@ -83,3 +83,18 @@ def test_mocap_mirror_involution():
     np.testing.assert_allclose(
         float(m1.base_pos[2]), -float(pose.base_pos[2]), atol=1e-6
     )
+
+
+def test_clip_value_straight_through_gradient():
+    """clip_value uses the reference's clip_by_value_with_gradient semantics
+    (networks/ops.py:4-9): hard clip forward, identity gradient backward, so
+    a critic output outside the band still receives value-loss gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfpn_tpu.networks.actor_critic import _clip_with_gradient
+
+    f = lambda x: _clip_with_gradient(x, -1.0, 1.0)
+    assert float(f(jnp.asarray(3.0))) == 1.0
+    assert float(jax.grad(f)(jnp.asarray(3.0))) == 1.0  # not zero
+    assert float(jax.grad(f)(jnp.asarray(0.5))) == 1.0
