@@ -674,7 +674,10 @@ def _make_kernel(meta: MegaMeta):
             lin_s = lin_idx[0] if lin_idx else 0
             lin_e = lin_idx[-1] + 1 if lin_idx else 0
 
-            # rows layout: [K normals, K t1, K t2, L limits]
+            # rows layout: [K normals, K t1, K t2] materialized; the L limit
+            # rows are J = sign * e_dof, so their W/A/b entries are direct
+            # reads of hinv/W/v_star columns — never materialized (saves the
+            # (R vs 3K) width everywhere downstream)
             for j in range(K):
                 diff = [sel_x[j][i] - an_mat[i] for i in range(3)]  # (n,T)
                 jr = [ax_mat[1] * diff[2] - ax_mat[2] * diff[1],
@@ -690,10 +693,6 @@ def _make_kernel(meta: MegaMeta):
                 rows_scr[j, :, :] = jr[up]
                 rows_scr[K + j, :, :] = jr[t1x]
                 rows_scr[2 * K + j, :, :] = jr[t2x]
-            for li, (dof, ridx, val, sign) in enumerate(m.lim_rows):
-                rows_scr[3 * K + li, :, :] = jnp.zeros((n, t), jnp.float32)
-                rows_scr[3 * K + li, dof, :] = jnp.full((t,), sign,
-                                                        jnp.float32)
 
             # targets / activity
             tgt_list = []
@@ -713,29 +712,100 @@ def _make_kernel(meta: MegaMeta):
             act_l = (jnp.concatenate(act_l_list, axis=0)
                      if m.n_lim else None)
 
-            # ============ W = Hinv J^T ; A = J W ; PGS ============
-            # (projected Jacobi with the Gershgorin step: full-width
-            # (R, R, T) ops; a sequential-GS variant measured slower —
-            # see sim/contact.py)
-            w_scr[...] = (hinv_scr[:, 0, :][:, None, :]
-                          * rows_scr[:, 0, :][None, :, :])
+            # ============ W = Hinv J^T ; rowsum(|A|) ; PGS ============
+            # Projected Jacobi with the Gershgorin step (sim/contact.py
+            # semantics; a sequential-GS variant measured slower). Exact
+            # same math as materializing the full (R, R) Delassus, factored
+            # three ways for the VPU:
+            #  * limit rows (J = sign * e_dof) read hinv/W columns directly;
+            #  * A is built only on the upper triangle of the 3K x 3K
+            #    contact block, in (8, 8) sublane tiles, and is consumed
+            #    immediately by the |A| row sums (A itself never feeds the
+            #    iteration);
+            #  * the PGS matvec runs in W-form, A @ lam = J (W @ lam) —
+            #    2*3K*n multiplies/iter instead of R*R.
+            K3 = 3 * K
+            nb8 = (K3 + 7) // 8  # sublane-tile blocks (K3 = 48 -> 6)
+            w_scr[:, :K3, :] = (hinv_scr[:, 0, :][:, None, :]
+                                * rows_scr[:, 0, :][None, :, :])
             for kk in range(1, n):
-                w_scr[...] += (hinv_scr[:, kk, :][:, None, :]
-                               * rows_scr[:, kk, :][None, :, :])
-            a_scr[...] = (rows_scr[:, 0, :][:, None, :]
-                          * w_scr[0][None, :, :])
-            for kk in range(1, n):
-                a_scr[...] += (rows_scr[:, kk, :][:, None, :]
-                               * w_scr[kk][None, :, :])
+                w_scr[:, :K3, :] += (hinv_scr[:, kk, :][:, None, :]
+                                     * rows_scr[:, kk, :][None, :, :])
+            for li, (dof, ridx, val, sign) in enumerate(m.lim_rows):
+                w_scr[:, K3 + li, :] = sign * hinv_scr[:, dof, :]
 
-            rowsum = jnp.sum(jnp.abs(a_scr[...]), axis=1) + m.cfm
+            # upper-triangle contact-block A in (8, 8) tiles -> |A| row sums
+            for bi in range(nb8):
+                si = slice(8 * bi, min(8 * bi + 8, K3))
+                for bj in range(bi, nb8):
+                    sj = slice(8 * bj, min(8 * bj + 8, K3))
+                    blk = (rows_scr[si, 0, :][:, None, :]
+                           * w_scr[0, sj, :][None, :, :])
+                    for kk in range(1, n):
+                        blk += (rows_scr[si, kk, :][:, None, :]
+                                * w_scr[kk, sj, :][None, :, :])
+                    a_scr[si, sj, :] = blk
+            def pad_to(v, lo):
+                """Place (len, T) block v at offset lo within (K3, T)
+                (zero-length pads dropped — Mosaic rejects 0-sized vectors)."""
+                parts = []
+                if lo:
+                    parts.append(jnp.zeros((lo, t), jnp.float32))
+                parts.append(v)
+                hi = K3 - lo - v.shape[0]
+                if hi:
+                    parts.append(jnp.zeros((hi, t), jnp.float32))
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0)
+
+            rsum_c = pad_to(jnp.sum(jnp.abs(a_scr[0:8, 0:8, :]), axis=1), 0)
+            for bi in range(nb8):
+                si = slice(8 * bi, min(8 * bi + 8, K3))
+                for bj in range(bi, nb8):
+                    if bi == 0 and bj == 0:
+                        continue
+                    sj = slice(8 * bj, min(8 * bj + 8, K3))
+                    ablk = jnp.abs(a_scr[si, sj, :])
+                    rsum_c = rsum_c + pad_to(jnp.sum(ablk, axis=1), 8 * bi)
+                    if bi != bj:                          # mirrored half
+                        rsum_c = rsum_c + pad_to(jnp.sum(ablk, axis=0),
+                                                 8 * bj)
+            if m.n_lim:
+                # A[i, 3K+li] = sign * W[dof_li, i] (Hinv symmetric)
+                lim_cols = jnp.concatenate(
+                    [w_scr[dof, :K3, :][None, :, :]
+                     for (dof, ridx, val, sign) in m.lim_rows], axis=0)
+                rsum_c = rsum_c + jnp.sum(jnp.abs(lim_cols), axis=0)
+                # limit-row sums: A[q, :] = sign * W[dof_q, :]
+                rsum_l = jnp.concatenate(
+                    [jnp.sum(jnp.abs(w_scr[dof, :, :]), axis=0,
+                             keepdims=True)
+                     for (dof, ridx, val, sign) in m.lim_rows], axis=0)
+                rowsum = jnp.concatenate([rsum_c, rsum_l], axis=0) + m.cfm
+            else:
+                rowsum = rsum_c + m.cfm
             step = m.relaxation / jnp.maximum(rowsum, 1e-9)
-            b_vec = jnp.sum(rows_scr[...] * v_star[None, :, :],
-                            axis=1) - target
+
+            b_c = jnp.sum(rows_scr[...] * v_star[None, :, :], axis=1)
+            if m.n_lim:
+                b_l = jnp.concatenate(
+                    [sign * v_star[dof:dof + 1, :]
+                     for (dof, ridx, val, sign) in m.lim_rows], axis=0)
+                b_vec = jnp.concatenate([b_c, b_l], axis=0) - target
+            else:
+                b_vec = b_c - target
 
             lam = jnp.zeros((R, t), dtype=jnp.float32)
             for _ in range(m.iterations):
-                alam = jnp.sum(a_scr[...] * lam[None, :, :], axis=1)
+                u = jnp.sum(w_scr[...] * lam[None, :, :], axis=1)  # (n, T)
+                alam_c = jnp.sum(rows_scr[...] * u[None, :, :], axis=1)
+                if m.n_lim:
+                    alam_l = jnp.concatenate(
+                        [sign * u[dof:dof + 1, :]
+                         for (dof, ridx, val, sign) in m.lim_rows], axis=0)
+                    alam = jnp.concatenate([alam_c, alam_l], axis=0)
+                else:
+                    alam = alam_c
                 upd = lam - step * (alam + b_vec)
                 lam_n = jnp.maximum(upd[:K], 0.0) * act_n
                 bound = m.mu * lam_n
@@ -914,9 +984,11 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((n, n, tile), jnp.float32),
             pltpu.VMEM((n, n, tile), jnp.float32),
-            pltpu.VMEM((R, n, tile), jnp.float32),
+            # contact rows only (3K); limit rows are hinv/W column reads
+            pltpu.VMEM((3 * K, n, tile), jnp.float32),
             pltpu.VMEM((n, R, tile), jnp.float32),
-            pltpu.VMEM((R, R, tile), jnp.float32),
+            # upper-triangle contact-block Delassus (|A| row sums only)
+            pltpu.VMEM((3 * K, 3 * K, tile), jnp.float32),
         ],
         interpret=interpret,
     )(st_l, ts_l, tr_l, cmask_j)

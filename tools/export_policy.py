@@ -61,6 +61,7 @@ def main():
     ap.add_argument("--particles", type=int, default=35)
     ap.add_argument("--seed", type=int, default=34114)
     ap.add_argument("--root", default=".")
+    ap.add_argument("--suffix", default="", help="run-dir suffix (matches the training --suffix)")
     ap.add_argument("--env_multiplier", type=int, default=1,
                     help="must match the training run for checkpoint export")
     ap.add_argument("--play", default=None, help="npz to evaluate instead")
@@ -74,6 +75,9 @@ def main():
 
     cfg = build(args.setting, particles=args.particles, env=args.env,
                 seed=args.seed, env_multiplier=args.env_multiplier)
+    if args.suffix:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, suffix=args.suffix)
     algo = build_algo(cfg)
 
     if args.play:

@@ -1,0 +1,55 @@
+#!/bin/bash
+# Serialized TPU training queue (single-client tunnel: CLAUDE.md caveat 1).
+# Runs the round-3 result backlog one job at a time, logging to results/.
+# Usage: bash tools/run_queue.sh <phase>
+#   phase short: exact-geometry Walk+Punch + seed table + preset smokes
+#   phase sac:   resume SAC Walk toward the 15M reference budget
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  local log="$1"; shift
+  echo "=== $(date '+%H:%M:%S') START $log" >> results/queue_r3.log
+  "$@" >> "$log" 2>&1
+  local rc=$?
+  echo "=== $(date '+%H:%M:%S') END $log rc=$rc" >> results/queue_r3.log
+  # tunnel cooldown between jobs (single-client backend)
+  sleep 150
+  return $rc
+}
+
+phase="${1:-short}"
+
+if [ "$phase" = "short" ]; then
+  # 1) exact reference geometry (env_multiplier=1: 8 envs x unroll 512,
+  #    minibatch 256 = deepmimic_dppo_base.py:6-11), Walk + Punch, 15M
+  run results/dppo_pfpn35_walk_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_dppo_pfpn \
+      --particles 35 --seed 34114 --suffix exactgeom --train
+  run results/dppo_pfpn35_punch_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicPunch-v0 --setting deepmimic_dppo_pfpn \
+      --particles 35 --seed 34114 --suffix exactgeom --train
+
+  # 2) complete the 5-seed Walk table at the validated geometry (mult 8)
+  for seed in 28949 12831 39907; do
+    run "results/dppo_pfpn35_walk_seed${seed}_tpu.log" \
+      python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_dppo_pfpn \
+        --particles 35 --seed "$seed" --env_multiplier 8 --train
+  done
+
+  # 3) smoke-train the last untouched presets (finite losses, rising reward)
+  run results/ddpg_gauss_walk_seed34114_smoke_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_ddpg_gauss \
+      --seed 34114 --max_samples 100000 --train
+  run results/dppo_dis_walk_seed34114_smoke_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_dppo_dis \
+      --particles 10 --seed 34114 --max_samples 500000 --env_multiplier 8 --train
+elif [ "$phase" = "sac" ]; then
+  # resume the SAC Walk run from the 2M checkpoint toward 15M
+  # (deepmimic_sac_base.py:15); bounded by round wall-clock, the log
+  # documents wherever it stops
+  run results/sac_pfpn35_walk_seed34114_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_sac_pfpn \
+      --particles 35 --seed 34114 --max_samples 15000000 --train
+fi
+echo "=== $(date '+%H:%M:%S') QUEUE $phase DONE" >> results/queue_r3.log
