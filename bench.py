@@ -28,7 +28,9 @@ import jax.numpy as jnp
 def measure(batch: int, n_steps: int):
     from pfpn_tpu.envs.deepmimic import make
 
-    env = make("DeepMimicWalk-v0")
+    # PFPN_BENCH_ENV=DeepMimicMultiTask-v0 measures the multi-task batch
+    # (walk+punch+kick slices in one jitted program, envs/multitask.py)
+    env = make(os.environ.get("PFPN_BENCH_ENV", "DeepMimicWalk-v0"))
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     state, _ = jax.jit(env.reset_batch)(keys)
 

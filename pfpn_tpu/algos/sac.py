@@ -13,6 +13,12 @@ batch 256 (deepmimic_sac_base.py + flat_train's off-policy branch,
 distributed_model.py:345-351). Here each jitted round performs
 `steps_per_round` of those (env step -> buffer insert -> uniform sample ->
 update), vmapped over num_envs parallel envs (num_envs=1 is exact parity).
+With num_envs=N > 1, `updates_per_step` should be N so every round does N
+sequential batch-256 gradient steps after inserting N transitions — the
+reference's 1-gradient-step-per-env-sample ratio is preserved exactly; only
+the interleaving changes (N samples arrive per round instead of 1). This is
+the TPU-native acceleration of the single-env reference loop: batch-1
+physics is tunnel-latency-bound (~140 samples/s), batch-N amortizes it.
 """
 
 from __future__ import annotations
@@ -45,6 +51,8 @@ class SACConfig:
     buffer_capacity: int = 1_000_000
     warmup: int = 0                   # random-action observation steps
     steps_per_round: int = 64         # env+grad steps fused per jit call
+    updates_per_step: int = 1         # grad steps per env round (set to
+                                      # num_envs to keep 1 grad step/sample)
     gamma: float = 0.95
     tau: float = 0.005
     lr_actor: float = 1e-4
@@ -286,7 +294,7 @@ class SAC:
 
         def step(carry, _):
             state = carry
-            key, k_act, k_reset, k_samp, k_upd = jax.random.split(state.key, 5)
+            key, k_act, k_reset, _k_samp, k_upd = jax.random.split(state.key, 5)
             a, aux = self._explore_action(state.params, state.norm, k_act, state.obs)
             if self._is_pfpn and "probs" in aux:
                 stats = update_activation_stats(state.head_stats, aux["probs"])
@@ -307,26 +315,40 @@ class SAC:
             last_ret = jnp.where(res.done, ep_ret, state.last_ep_return)
             ep_ret = jnp.where(res.done, 0.0, ep_ret)
 
-            batch = replay.sample(buf, k_samp, cfg.batch_size)
             can_train = buf.size >= cfg.batch_size + cfg.warmup
 
-            def do_update(_):
-                return self._update_step(
-                    state.params, state.target, state.opt_state, state.norm,
-                    stats, batch, k_upd, state.global_step,
-                )
+            # `updates_per_step` sequential batch-256 gradient steps against
+            # the round's buffer snapshot — num_envs of them keeps the
+            # reference's 1-grad-step-per-sample ratio (flat_train off-policy
+            # branch, distributed_model.py:345-351) under batched rollout.
+            def inner(icarry, ik):
+                params, target, opt_state, norm, stats_c, gstep = icarry
+                k_samp, k_up = jax.random.split(ik)
+                batch = replay.sample(buf, k_samp, cfg.batch_size)
 
-            def no_update(_):
-                return (state.params, state.target, state.opt_state,
-                        state.norm, stats, state.global_step,
-                        {"loss": jnp.zeros(()), "critic_loss": jnp.zeros(()),
-                         "actor_loss": jnp.zeros(()),
-                         **({"alpha": jnp.exp(state.params["log_alpha"])}
-                            if cfg.algo == "sac" else {})})
+                def do_update(_):
+                    return self._update_step(
+                        params, target, opt_state, norm, stats_c, batch,
+                        k_up, gstep,
+                    )
 
-            (params, target, opt_state, norm, stats2, gstep, metrics) = jax.lax.cond(
-                can_train, do_update, no_update, None
+                def no_update(_):
+                    return (params, target, opt_state, norm, stats_c, gstep,
+                            {"loss": jnp.zeros(()), "critic_loss": jnp.zeros(()),
+                             "actor_loss": jnp.zeros(()),
+                             **({"alpha": jnp.exp(params["log_alpha"])}
+                                if cfg.algo == "sac" else {})})
+
+                out = jax.lax.cond(can_train, do_update, no_update, None)
+                return out[:6], out[6]
+
+            (params, target, opt_state, norm, stats2, gstep), im = jax.lax.scan(
+                inner,
+                (state.params, state.target, state.opt_state, state.norm,
+                 stats, state.global_step),
+                jax.random.split(k_upd, cfg.updates_per_step),
             )
+            metrics = jax.tree.map(jnp.mean, im)
             new_state = state.replace(
                 params=params, target=target, opt_state=opt_state, norm=norm,
                 head_stats=stats2, buffer=buf, env_state=new_env_state,

@@ -592,12 +592,17 @@ class DeepMimicEnv:
         return new_states, new_obs, res
 
 
-def make(env_name: str, **kwargs) -> DeepMimicEnv:
-    """gym.make-style constructor: DeepMimic{Walk,Punch,Kick}-v0."""
+def make(env_name: str, **kwargs) -> "DeepMimicEnv":
+    """gym.make-style constructor: DeepMimic{Walk,Punch,Kick}-v0, plus the
+    TPU-native multi-task batch DeepMimicMultiTask-v0 (envs/multitask.py)."""
     name = env_name
     if name.endswith("-v0"):
         name = name[:-3]
     if not name.startswith("DeepMimic"):
         raise ValueError(f"unknown env {env_name}")
     motion = name[len("DeepMimic"):].lower()
+    if motion == "multitask":
+        from .multitask import MultiTaskEnv
+        return MultiTaskEnv(("walk", "punch", "kick"), task_obs=True,
+                            **kwargs)
     return DeepMimicEnv(motion=motion, **kwargs)

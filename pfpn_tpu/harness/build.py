@@ -152,7 +152,12 @@ def build_algo(cfg: RunConfig):
         from ..algos.sac import SAC, SACConfig
         return SAC(env, net, SACConfig(
             num_envs=cfg.num_envs,
-            batch_size=cfg.minibatch_size,
+            # batch stays at the preset's 256 (deepmimic_sac_base.py:7) even
+            # under --env_multiplier; the multiplier instead scales
+            # updates_per_step so the 1-grad-step-per-sample ratio of the
+            # reference's single-env loop is preserved exactly.
+            batch_size=cfg.worker.batch_size,
+            updates_per_step=cfg.num_envs,
             buffer_capacity=cfg.worker.buffer_capacity,
             warmup=cfg.worker.observations,
             lr_actor=cfg.worker.lr_actor,

@@ -437,6 +437,56 @@ def test_sac_checkpoint_skips_replay_buffer(tmp_path):
     assert int(restored.buffer.size) == int(template.buffer.size)
 
 
+def test_sac_updates_per_step_preserves_grad_ratio():
+    """Batched SAC rollout (num_envs=N) must do N gradient steps per env
+    round so the reference's 1-grad-step-per-sample ratio survives
+    --env_multiplier (deepmimic_sac_base.py + distributed_model.py:345-351:
+    unroll 1, opt_epochs None -> one batch-256 update per env sample)."""
+    from pfpn_tpu.algos.sac import SAC, SACConfig
+    from pfpn_tpu.networks import ACConfig, ActorCritic, GaussianHead
+
+    env = ToyEnv()
+    head = GaussianHead(action_dim=2, action_low=env.action_low,
+                        action_high=env.action_high, squash=True)
+    net = ActorCritic(ACConfig(
+        obs_dim=4, head=head, actor_shape=(16,), critic_shape=(16,),
+        normalize_state=False))
+
+    def run(updates_per_step):
+        sac = SAC(env, net, SACConfig(
+            num_envs=4, batch_size=8, buffer_capacity=64, warmup=0,
+            steps_per_round=4, updates_per_step=updates_per_step))
+        state = sac.init_state(jax.random.PRNGKey(0))
+        state, m = jax.jit(sac.train_round)(state)
+        return state, m
+
+    # buffer fills 4/round-step; can_train from the step where size >= 8,
+    # i.e. 3 of the 4 scan steps train
+    state1, m1 = run(1)
+    assert int(state1.total_samples) == 16
+    assert int(state1.global_step) == 3
+    state4, m4 = run(4)
+    assert int(state4.total_samples) == 16
+    assert int(state4.global_step) == 12      # 3 training steps x 4 updates
+    assert np.isfinite(float(m4["loss"]))
+
+
+def test_build_algo_sac_multiplier_keeps_batch_size():
+    """--env_multiplier on a SAC preset scales envs and updates_per_step,
+    NOT the per-update batch (stays at the preset's 256,
+    deepmimic_sac_base.py:7) — the DPPO-style minibatch scaling would
+    silently change the algorithm."""
+    from pfpn_tpu.harness.build import build_algo
+    from pfpn_tpu.harness.settings import build as build_settings
+
+    cfg = build_settings("deepmimic_sac_pfpn", particles=5,
+                         env="DeepMimicWalk-v0", seed=0, env_multiplier=16)
+    algo = build_algo(cfg)
+    assert algo.cfg.num_envs == 16
+    assert algo.cfg.updates_per_step == 16
+    assert algo.cfg.batch_size == 256
+
+
 def test_build_algo_recurrent_path():
     """NetworkSettings.lstm selects the RecurrentActorCritic + RecurrentPPO
     pair through the harness build path (episodic-training config surface)."""

@@ -250,3 +250,44 @@ def test_ref_table_reward_matches_exact_fk():
     r_exact = jax.vmap(env_exact.reward)(states, term)
     np.testing.assert_allclose(
         np.asarray(r_tbl), np.asarray(r_exact), atol=2e-4)
+
+
+def test_multitask_env_matches_per_task_envs():
+    """DeepMimicMultiTask-v0: contiguous slices of the batch run different
+    motions inside one jitted program (BASELINE.md multi-task target; no
+    reference counterpart — main.py trains one motion per process). Slice k
+    must behave exactly like the single-task env for motion k, with a task
+    one-hot appended to the observation."""
+    from pfpn_tpu.envs.multitask import MultiTaskEnv
+
+    mt = make("DeepMimicMultiTask-v0")
+    assert isinstance(mt, MultiTaskEnv)
+    assert mt.num_tasks == 3
+    assert mt.observation_size == mt.base_observation_size + 3
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    states, obs = jax.jit(mt.reset_batch)(keys)
+    assert obs.shape == (6, mt.observation_size)
+    # one-hot block: slots 0-1 walk, 2-3 punch, 4-5 kick
+    onehot = np.asarray(obs[:, -3:])
+    np.testing.assert_array_equal(
+        onehot, np.repeat(np.eye(3), 2, axis=0))
+
+    # slice equivalence: per-task env with the same keys reproduces the
+    # multi-task slice exactly (reset and one autoreset step)
+    a = jax.random.uniform(jax.random.PRNGKey(5), (6, mt.action_size),
+                           minval=-0.2, maxval=0.2)
+    rkeys = jax.random.split(jax.random.PRNGKey(9), 6)
+    n_states, n_obs, res = jax.jit(mt.step_autoreset)(states, a, rkeys)
+    assert n_obs.shape == (6, mt.observation_size)
+    assert bool(np.all(np.isfinite(np.asarray(res.reward))))
+    for k, motion_name in enumerate(mt.motions):
+        sub = make(f"DeepMimic{motion_name.capitalize()}-v0")
+        s_k, o_k = sub.reset_batch(keys[2 * k:2 * k + 2])
+        np.testing.assert_allclose(
+            np.asarray(obs[2 * k:2 * k + 2, :-3]), np.asarray(o_k),
+            rtol=1e-5, atol=2e-5)
+        r_k = sub.step_batch(s_k, a[2 * k:2 * k + 2])
+        np.testing.assert_allclose(
+            np.asarray(res.reward[2 * k:2 * k + 2]), np.asarray(r_k.reward),
+            rtol=1e-4, atol=1e-4)

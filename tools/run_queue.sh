@@ -51,5 +51,27 @@ elif [ "$phase" = "sac" ]; then
   run results/sac_pfpn35_walk_seed34114_tpu.log \
     python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_sac_pfpn \
       --particles 35 --seed 34114 --max_samples 15000000 --train
+elif [ "$phase" = "r3b" ]; then
+  # 1) SAC Walk to the full 15M reference budget (deepmimic_sac_base.py:15)
+  #    at env_multiplier 16: 16 vmapped envs + 16 batch-256 grad steps per
+  #    round — the reference's 1-grad-step-per-sample ratio preserved
+  #    (PARITY.md #15); single-env physics is tunnel-latency-bound at
+  #    ~140 samples/s, making the 15M budget ~26 h — batched it fits the
+  #    round. Short throughput probe first, then the full run (fresh seed
+  #    dir via --suffix; checkpoints every 100k grad steps — the 1000-step
+  #    reference cadence would mean 15k orbax saves).
+  run results/sac_pfpn35_walk_seed34114_mult16_probe_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_sac_pfpn \
+      --particles 35 --seed 34114 --suffix mult16 --env_multiplier 16 \
+      --max_samples 200000 --save_checkpoint_interval 100000 --train
+  run results/sac_pfpn35_walk_seed34114_mult16_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_sac_pfpn \
+      --particles 35 --seed 34114 --suffix mult16 --env_multiplier 16 \
+      --max_samples 15000000 --save_checkpoint_interval 100000 --train
+  # 2) Kick at the exact reference geometry (Walk hit 579/600, Punch is in
+  #    the short phase; this completes the three-task exactgeom table)
+  run results/dppo_pfpn35_kick_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicKick-v0 --setting deepmimic_dppo_pfpn \
+      --particles 35 --seed 34114 --suffix exactgeom --train
 fi
 echo "=== $(date '+%H:%M:%S') QUEUE $phase DONE" >> results/queue_r3.log
