@@ -139,6 +139,44 @@ def main():
         timed_scan("action->targets alone", body, (est, jax.random.PRNGKey(1)),
                    iters, lambda c: jnp.sum(c[0].sim.base_pos))
 
+    # ---- policy cost (the policy-in-loop vs random-action gap) ----------
+    if want("policy") or want("policy_head"):
+        from pfpn_tpu.harness.build import build_env, build_net
+        from pfpn_tpu.harness.settings import build as build_cfg
+
+        cfg = build_cfg("deepmimic_dppo_pfpn", particles=35)
+        net = build_net(cfg, env)
+        params = net.init(jax.random.PRNGKey(0))
+        norm = net.init_norm()
+        obs0 = jax.jit(lambda s: jax.vmap(env.observe)(s))(est)
+
+        if want("policy"):
+            def body(carry):
+                obs, k = carry
+                k, ka = jax.random.split(k)
+                a, lp, v, _aux = net.act(params, norm, ka, obs)
+                # data-dependent jiggle so the scan can't hoist the act
+                jig = jnp.sum(a) + jnp.sum(lp) + jnp.sum(v)
+                return (obs + 1e-12 * jig, k)
+            timed_scan("net.act alone (PFPN-35 sample+value)", body,
+                       (obs0, jax.random.PRNGKey(1)), iters,
+                       lambda c: jnp.sum(c[0]))
+
+        if want("policy_head"):
+            feat0 = jax.jit(
+                lambda o: net.actor_features(params, norm, o))(obs0)
+            from pfpn_tpu.networks import heads as heads_mod
+
+            def body(carry):
+                feat, k = carry
+                k, ka = jax.random.split(k)
+                a, lp, _aux = heads_mod.sample_with_log_prob(
+                    net.cfg.head, params["head"], feat, ka)
+                return (feat + 1e-12 * jnp.sum(a), k)
+            timed_scan("particle head sample alone", body,
+                       (feat0, jax.random.PRNGKey(1)), iters,
+                       lambda c: jnp.sum(c[0]))
+
 
 if __name__ == "__main__":
     main()
