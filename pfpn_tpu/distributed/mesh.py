@@ -89,10 +89,11 @@ def init_distributed() -> bool:
       JAX_PROCESS_ID / PROCESS_ID                    this host's rank
 
     Returns True if the cluster was joined, False when the env vars are
-    absent (single-host: the normal case on this rig). UNTESTED on real
-    multi-host hardware — this rig exposes one chip behind a tunnel; the
-    single-host GSPMD path it feeds is exercised by the virtual-mesh tests
-    and the driver dryrun.
+    absent (single-host: the normal case on this rig). The cluster-join
+    path is exercised by a 1-process-cluster subprocess test
+    (tests/test_algos.py); real multi-host hardware is not available on
+    this rig — the single-host GSPMD path it feeds is exercised by the
+    virtual-mesh tests and the driver dryrun.
     """
     import os
 

@@ -2,6 +2,7 @@
 multi-chip sharding, and a PPO convergence check on a toy MDP."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -536,3 +537,49 @@ def test_init_distributed_noop_without_coordinator(monkeypatch):
     for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
         monkeypatch.delenv(var, raising=False)
     assert init_distributed() is False
+
+
+def test_init_distributed_joins_single_process_cluster():
+    """Positive path: a real (1-process) jax.distributed cluster on CPU.
+
+    Runs in a subprocess because jax.distributed.initialize mutates global
+    backend state. Exercises the exact code the multi-host entry runs —
+    coordinator service formation + cluster join (the DCN analog of the
+    reference's tf.train.Server, distributed_model.py:552-554) — then builds
+    the default data mesh and runs a sharded computation on it.
+    """
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from pfpn_tpu.distributed.mesh import default_mesh, init_distributed\n"
+        "assert init_distributed() is True\n"
+        "assert jax.process_count() == 1\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+        "mesh = default_mesh()\n"
+        "x = jax.device_put(jnp.arange(8.0), NamedSharding(mesh, P('data')))\n"
+        "assert float(jax.jit(jnp.sum)(x)) == 28.0\n"
+        "print('JOINED')\n"
+    )
+    env = dict(
+        os.environ,
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        JAX_NUM_PROCESSES="1",
+        JAX_PROCESS_ID="0",
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",  # never touch the TPU tunnel (CLAUDE.md #4)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, timeout=300,
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "JOINED" in out.stdout

@@ -172,6 +172,41 @@ def test_resample_replaces_dead_particles():
     np.testing.assert_allclose(w_new[:, 0, 0], w[:, 0, t], atol=1e-7)
 
 
+def test_resample_topk_path():
+    # resample=k > 0: candidates drawn uniformly from the k most active
+    # particles (a2c.py:405-408), not activation-proportionally.
+    cfg = ParticleHead(action_dim=1, particles=6, resample=2,
+                       resample_interval=10)
+    params = init_head(jax.random.PRNGKey(0), cfg, 8)
+    stats = init_activation_stats(cfg)
+    # slot 0 dead; slots 4 and 5 dominate average activation -> top-2
+    max_active = jnp.array([[0.0, 0.5, 0.5, 0.5, 0.5, 0.5]])
+    sum_active = jnp.array([[0.0, 1.0, 2.0, 3.0, 100.0, 90.0]])
+    stats = {**stats, "max_active": max_active, "sum_active": sum_active}
+    old_loc = np.asarray(params["particles"]).copy()
+    old_b = np.asarray(params["fc_policy"]["b"]).reshape(1, 6).copy()
+    w = np.asarray(params["fc_policy"]["w"]).reshape(8, 1, 6).copy()
+    new = resample(cfg, params, stats, jax.random.PRNGKey(7))
+    new_loc = np.asarray(new["particles"])
+    new_b = np.asarray(new["fc_policy"]["b"]).reshape(1, 6)
+    w_new = np.asarray(new["fc_policy"]["w"]).reshape(8, 1, 6)
+    # exactly one bias column besides the dead one changed, and it is a
+    # top-2 slot whose mass was halved (log(2) split)
+    changed = np.where(np.abs(new_b[0] - old_b[0]) > 1e-6)[0]
+    tgt_cols = [c for c in changed if c != 0]
+    assert len(tgt_cols) == 1 and tgt_cols[0] in (4, 5)
+    t = tgt_cols[0]
+    np.testing.assert_allclose(new_b[0, t], old_b[0, t] - np.log(2.0),
+                               atol=1e-5)
+    # dead slot copied the target's logit column and mean (+- std jitter)
+    np.testing.assert_allclose(w_new[:, 0, 0], w[:, 0, t], atol=1e-7)
+    std_t = float(np.exp(np.asarray(
+        params["particles_log_std"])[0, t]))
+    assert abs(new_loc[0, 0] - old_loc[0, t]) <= std_t + 1e-3
+    # alive particles untouched
+    np.testing.assert_allclose(new_loc[0, 1:], old_loc[0, 1:], atol=1e-7)
+
+
 def test_maybe_resample_counter():
     from pfpn_tpu.networks.resample import maybe_resample
 

@@ -73,5 +73,14 @@ elif [ "$phase" = "r3b" ]; then
   run results/dppo_pfpn35_kick_seed34114_exactgeom_tpu.log \
     python -m pfpn_tpu --env DeepMimicKick-v0 --setting deepmimic_dppo_pfpn \
       --particles 35 --seed 34114 --suffix exactgeom --train
+elif [ "$phase" = "r3c" ]; then
+  # Multi-task training demo (beyond-reference capability): one PFPN-35
+  # policy with a task one-hot learns walk+punch+kick in a single vmapped
+  # batch (envs/multitask.py). Exact reference update geometry; budget
+  # 45M = the reference's 15M per task.
+  run results/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicMultiTask-v0 \
+      --setting deepmimic_dppo_pfpn --particles 35 --seed 34114 \
+      --suffix exactgeom --max_samples 45000000 --train
 fi
 echo "=== $(date '+%H:%M:%S') QUEUE $phase DONE" >> results/queue_r3.log
