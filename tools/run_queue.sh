@@ -73,6 +73,24 @@ elif [ "$phase" = "r3b" ]; then
   run results/dppo_pfpn35_kick_seed34114_exactgeom_tpu.log \
     python -m pfpn_tpu --env DeepMimicKick-v0 --setting deepmimic_dppo_pfpn \
       --particles 35 --seed 34114 --suffix exactgeom --train
+elif [ "$phase" = "r3d" ]; then
+  # Recovery sequence after a tunnel stall: re-run Kick exactgeom, resume
+  # SAC from its 11.14M checkpoint to the 15M budget, then the multi-task
+  # demo. Longer cooldowns — post-crash tunnel reconnects hang when rushed.
+  sleep 120
+  run results/dppo_pfpn35_kick_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicKick-v0 --setting deepmimic_dppo_pfpn \
+      --particles 35 --seed 34114 --suffix exactgeom --train
+  sleep 120
+  run results/sac_pfpn35_walk_seed34114_mult16_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_sac_pfpn \
+      --particles 35 --seed 34114 --suffix mult16 --env_multiplier 16 \
+      --max_samples 15000000 --save_checkpoint_interval 100000 --train
+  sleep 120
+  run results/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicMultiTask-v0 \
+      --setting deepmimic_dppo_pfpn --particles 35 --seed 34114 \
+      --suffix exactgeom --max_samples 45000000 --train
 elif [ "$phase" = "r3c" ]; then
   # Multi-task training demo (beyond-reference capability): one PFPN-35
   # policy with a task one-hot learns walk+punch+kick in a single vmapped
