@@ -101,11 +101,14 @@ def init_distributed() -> bool:
             or os.environ.get("COORDINATOR_ADDRESS"))
     if not addr:
         return False
-    nproc = os.environ.get("JAX_NUM_PROCESSES", os.environ.get("NUM_PROCESSES"))
-    pid = os.environ.get("JAX_PROCESS_ID", os.environ.get("PROCESS_ID"))
+    # empty-string env vars mean "unset" (the convention templated env
+    # files and this repo's own PALLAS_AXON_POOL_IPS= use)
+    nproc = (os.environ.get("JAX_NUM_PROCESSES")
+             or os.environ.get("NUM_PROCESSES"))
+    pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("PROCESS_ID")
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=int(nproc) if nproc is not None else None,
-        process_id=int(pid) if pid is not None else None,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None,
     )
     return True

@@ -180,7 +180,8 @@ class DeepMimicEnv:
                 self.group_links.append((link_name, w, True, int(tree.sph_index[b])))
 
         self.link_mass = tree.link_mass.astype(np.float32)
-        self._build_ref_tables()
+        if not self.exact_ref_reward:  # tables are dead on the exact path
+            self._build_ref_tables()
 
     def _build_ref_tables(self):
         """Dense phase-indexed reference-FK tables.
@@ -226,8 +227,7 @@ class DeepMimicEnv:
 
     def _ref_tables_at(self, time: jnp.ndarray):
         """Lerp (ee_local (n_ee,3), com_vel (3,)) from the dense tables."""
-        t = jnp.mod(time, self.motion.duration)
-        t = jnp.where(t < 0, t + self.motion.duration, t)
+        t = jnp.mod(time, self.motion.duration)  # non-negative for dur > 0
         x = t / self.motion.duration * self.n_ref_samples
         i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, self.n_ref_samples - 1)
         frac = x - i0.astype(jnp.float32)
@@ -603,6 +603,6 @@ def make(env_name: str, **kwargs) -> "DeepMimicEnv":
     motion = name[len("DeepMimic"):].lower()
     if motion == "multitask":
         from .multitask import MultiTaskEnv
-        return MultiTaskEnv(("walk", "punch", "kick"), task_obs=True,
-                            **kwargs)
+        kwargs.setdefault("task_obs", True)
+        return MultiTaskEnv(("walk", "punch", "kick"), **kwargs)
     return DeepMimicEnv(motion=motion, **kwargs)

@@ -56,7 +56,25 @@ class Box(Space):
         return bool(np.all(x >= self.low) and np.all(x <= self.high))
 
     def sample(self):
-        return self.np_random.uniform(self.low, self.high)
+        low = np.broadcast_to(np.asarray(self.low, np.float64), self.shape)
+        high = np.broadcast_to(np.asarray(self.high, np.float64), self.shape)
+        if np.all(np.isfinite(low)) and np.all(np.isfinite(high)):
+            return self.np_random.uniform(low, high)
+        # unbounded dims (the adapter's observation_space is +-inf):
+        # gym's Box semantics — normal for two-sided-unbounded,
+        # exponential offsets for half-bounded
+        out = self.np_random.normal(size=self.shape)
+        lo_fin, hi_fin = np.isfinite(low), np.isfinite(high)
+        both = lo_fin & hi_fin
+        out = np.where(both, self.np_random.uniform(
+            np.where(both, low, 0.0), np.where(both, high, 1.0)), out)
+        only_lo = lo_fin & ~hi_fin
+        out = np.where(only_lo, np.where(lo_fin, low, 0.0)
+                       + self.np_random.exponential(size=self.shape), out)
+        only_hi = ~lo_fin & hi_fin
+        out = np.where(only_hi, np.where(hi_fin, high, 0.0)
+                       - self.np_random.exponential(size=self.shape), out)
+        return out
 
     def __repr__(self):
         return "Box({})".format(self.shape)
@@ -150,4 +168,8 @@ class GymEnv(Env):
         return None
 
     def __getattr__(self, name):
+        # guard against infinite recursion when 'env' itself is missing
+        # (copy/pickle create instances without running __init__)
+        if name == "env":
+            raise AttributeError(name)
         return getattr(self.env, name)

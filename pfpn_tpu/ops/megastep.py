@@ -758,7 +758,9 @@ def _make_kernel(meta: MegaMeta):
                 return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=0)
 
-            rsum_c = pad_to(jnp.sum(jnp.abs(a_scr[0:8, 0:8, :]), axis=1), 0)
+            s0 = min(8, K3)
+            rsum_c = pad_to(
+                jnp.sum(jnp.abs(a_scr[0:s0, 0:s0, :]), axis=1), 0)
             for bi in range(nb8):
                 si = slice(8 * bi, min(8 * bi + 8, K3))
                 for bj in range(bi, nb8):

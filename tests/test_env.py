@@ -222,6 +222,35 @@ def test_gym_adapter_stateful_surface():
     np.testing.assert_allclose(o1, o2)
 
 
+def test_gym_adapter_space_sample_and_getattr_guard():
+    """Box.sample() must handle unbounded dims (the adapter's
+    observation_space is +-inf) and __getattr__ must not recurse when
+    'env' is absent (copy/pickle create instances without __init__)."""
+    import numpy as np
+
+    from pfpn_tpu.envs.gym_adapter import Box, GymEnv
+
+    finite = Box(low=np.zeros(3), high=np.ones(3))
+    s = finite.sample()
+    assert s.shape == (3,) and np.all(s >= 0) and np.all(s <= 1)
+
+    unbounded = Box(low=np.full(4, -np.inf), high=np.full(4, np.inf),
+                    shape=(4,))
+    s = unbounded.sample()  # must not raise OverflowError
+    assert s.shape == (4,) and np.all(np.isfinite(s))
+
+    shell = object.__new__(GymEnv)  # no __init__, no .env attribute
+    with pytest.raises(AttributeError):
+        shell.anything  # noqa: B018 — must raise, not recurse
+
+
+def test_make_multitask_task_obs_kwarg():
+    """make() must accept an explicit task_obs override (it defaults the
+    kwarg instead of hardcoding it)."""
+    mt = make("DeepMimicMultiTask-v0", task_obs=False)
+    assert mt.observation_size == mt.base_observation_size
+
+
 def test_ref_table_reward_matches_exact_fk():
     """The dense phase-table reference FK (600 Hz lerp) must reproduce the
     exact per-step reference FK reward (deepmimic.py:594-753) to
