@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every_rounds", type=int, default=50)
     p.add_argument("--max_rounds", type=int, default=None)
     p.add_argument("--root", type=str, default=".")
+    p.add_argument("--stall_timeout", type=float, default=1200.0,
+                   help="exit with code 43 when no training round completes "
+                        "for this many seconds (hung remote backend); a "
+                        "supervisor restart resumes from the checkpoint. "
+                        "0 disables. Must exceed first-round compile time.")
     return p
 
 
@@ -72,7 +77,8 @@ def main(argv=None):
         from .train import train
         train(cfg, root=args.root,
               eval_every_rounds=args.eval_every_rounds,
-              max_rounds=args.max_rounds, debug=args.debug)
+              max_rounds=args.max_rounds, debug=args.debug,
+              stall_timeout_s=args.stall_timeout)
     else:
         from .eval import visualize
         visualize(cfg, root=args.root)

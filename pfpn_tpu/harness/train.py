@@ -19,18 +19,24 @@ from .build import build_algo
 from .checkpoint import CheckpointManager
 from .config import RunConfig
 from .metrics import MetricsLogger
+from .watchdog import Watchdog
 
 
 def train(cfg: RunConfig, root: str = ".",
           eval_every_rounds: int = 50, eval_episodes: int = 10,
           max_rounds: Optional[int] = None, verbose: bool = True,
-          debug: bool = False):
+          debug: bool = False, stall_timeout_s: float = 0.0):
     """Train to cfg.max_samples; resume from the latest checkpoint if any.
 
     Uses every visible device: with >1 device the state is placed on a
     data-parallel mesh (env batch sharded, params replicated — GSPMD inserts
     the gradient all-reduce over ICI), replacing the reference's
     SyncReplicasOptimizer aggregation (sync_model.py:92-95).
+
+    stall_timeout_s > 0 arms a watchdog that exits the process with
+    watchdog.STALL_EXIT_CODE when no training round completes within the
+    timeout (hung remote backend) — a supervisor restart resumes from the
+    latest checkpoint. Must exceed the first-round compile time.
     """
     algo = build_algo(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -68,12 +74,14 @@ def train(cfg: RunConfig, root: str = ".",
     # (running average over all eval episodes, distributed_model.py:247-252)
     last_ckpt_step = int(state.global_step)
     t_start = time.time()
+    wd = Watchdog(stall_timeout_s)
 
     while int(state.total_samples) < cfg.max_samples:
         if max_rounds is not None and round_idx >= max_rounds:
             break
         state, metrics = train_round(state)
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        wd.beat()  # host fetch completed -> the backend is alive
         step = int(metrics["global_step"])
         logger.log(step, metrics, prefix="train/")
         if verbose:
@@ -135,7 +143,9 @@ def train(cfg: RunConfig, root: str = ".",
         if step - last_ckpt_step >= cfg.save_checkpoint_interval:
             ckpt.save(step, state)
             last_ckpt_step = step
+            wd.beat()
 
+    wd.stop()
     ckpt.save(int(state.global_step), state)
     logger.close()
     ckpt.close()

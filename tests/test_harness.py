@@ -57,3 +57,54 @@ def test_checkpoint_saved_when_evaluator_raises(tmp_path, monkeypatch):
                     max_rounds=2, verbose=False)
     # 2 in-loop saves (interval=1, eval raised both rounds) + 1 final save
     assert len(saves) >= 3, saves
+
+
+def test_watchdog_beat_and_stall():
+    """Stall watchdog (harness/watchdog.py): beats keep it alive past the
+    timeout; a missing beat triggers on_stall once with the stalled age."""
+    import threading
+    import time
+
+    from pfpn_tpu.harness.watchdog import Watchdog
+
+    fired = threading.Event()
+    ages = []
+
+    wd = Watchdog(timeout_s=0.5, poll_s=0.05,
+                  on_stall=lambda age: (ages.append(age), fired.set()))
+    for _ in range(14):  # keep beating past the timeout window
+        time.sleep(0.05)
+        wd.beat()
+    assert not fired.is_set()
+    # now stop beating -> must fire within ~timeout + poll
+    assert fired.wait(2.0)
+    assert ages and ages[0] > 0.5
+    wd.stop()
+
+
+def test_watchdog_disabled_and_stopped():
+    """timeout<=0 starts no thread; stop() prevents firing."""
+    import threading
+    import time
+
+    from pfpn_tpu.harness.watchdog import Watchdog
+
+    wd0 = Watchdog(timeout_s=0)
+    assert wd0._thread is None  # disabled: nothing to fire
+
+    fired = threading.Event()
+    wd = Watchdog(timeout_s=0.2, poll_s=0.05,
+                  on_stall=lambda age: fired.set())
+    wd.stop()
+    time.sleep(0.5)
+    assert not fired.is_set()
+
+
+def test_train_accepts_stall_timeout(tmp_path):
+    """train(stall_timeout_s=...) arms the watchdog without disturbing a
+    healthy run (rounds beat faster than the timeout)."""
+    from pfpn_tpu.harness.train import train
+
+    state = train(_tiny_cfg(), root=str(tmp_path), eval_every_rounds=0,
+                  max_rounds=2, verbose=False, stall_timeout_s=300.0)
+    assert int(state.global_step) > 0

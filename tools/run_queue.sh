@@ -8,11 +8,22 @@ set -u
 cd "$(dirname "$0")/.."
 
 run() {
+  # Retries while the trainer exits with the stall-watchdog code (43,
+  # pfpn_tpu/harness/watchdog.py): the relaunch resumes from the latest
+  # checkpoint, turning a hung tunnel into a bounded restart.
   local log="$1"; shift
-  echo "=== $(date '+%H:%M:%S') START $log" >> results/queue_r3.log
-  "$@" >> "$log" 2>&1
-  local rc=$?
-  echo "=== $(date '+%H:%M:%S') END $log rc=$rc" >> results/queue_r3.log
+  local tries=0 rc
+  while :; do
+    echo "=== $(date '+%H:%M:%S') START $log (try $tries)" >> results/queue_r3.log
+    "$@" >> "$log" 2>&1
+    rc=$?
+    echo "=== $(date '+%H:%M:%S') END $log rc=$rc" >> results/queue_r3.log
+    tries=$((tries + 1))
+    if [ $rc -ne 43 ] || [ $tries -ge 6 ]; then
+      break
+    fi
+    sleep 300   # post-stall tunnel cooldown before resuming
+  done
   # tunnel cooldown between jobs (single-client backend)
   sleep 150
   return $rc
