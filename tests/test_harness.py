@@ -100,6 +100,28 @@ def test_watchdog_disabled_and_stopped():
     assert not fired.is_set()
 
 
+def test_visualize_exports_trajectory(tmp_path):
+    """The no---train mode (reference distributed_model.py:436-444):
+    restore latest checkpoint, roll deterministic episodes, write the
+    trajectory npz for offline viewing."""
+    import numpy as np
+
+    from pfpn_tpu.harness.eval import visualize
+    from pfpn_tpu.harness.train import train
+
+    cfg = _tiny_cfg()
+    train(cfg, root=str(tmp_path), eval_every_rounds=0, max_rounds=1,
+          verbose=False)
+    visualize(cfg, root=str(tmp_path), num_episodes=2)
+    out = tmp_path / cfg.log_dir(str(tmp_path)).replace(
+        str(tmp_path) + "/", "") / "trajectory.npz"
+    data = np.load(out, allow_pickle=False)
+    n_links = len(data["link_names"])
+    assert data["link_pos"].shape[1:] == (2, n_links, 3)
+    assert data["link_quat"].shape[1:] == (2, n_links, 4)
+    assert data["done"].dtype == bool
+
+
 def test_train_accepts_stall_timeout(tmp_path):
     """train(stall_timeout_s=...) arms the watchdog without disturbing a
     healthy run (rounds beat faster than the timeout)."""
