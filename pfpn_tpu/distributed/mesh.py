@@ -89,11 +89,12 @@ def init_distributed() -> bool:
       JAX_PROCESS_ID / PROCESS_ID                    this host's rank
 
     Returns True if the cluster was joined, False when the env vars are
-    absent (single-host: the normal case on this rig). The cluster-join
-    path is exercised by a 1-process-cluster subprocess test
-    (tests/test_algos.py); real multi-host hardware is not available on
-    this rig — the single-host GSPMD path it feeds is exercised by the
-    virtual-mesh tests and the driver dryrun.
+    absent (single-host: the normal case on this rig). Exercised by
+    tests/test_algos.py: a 1-process cluster, and a genuine 2-process
+    cluster whose 8-device global mesh runs a full sharded PPO train
+    round with the gradient all-reduce crossing the process boundary
+    (Gloo — the CPU analog of DCN). Real multi-host TPU hardware is not
+    available on this rig.
     """
     import os
 

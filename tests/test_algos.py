@@ -539,6 +539,111 @@ def test_init_distributed_noop_without_coordinator(monkeypatch):
     assert init_distributed() is False
 
 
+_DCN_WORKER = '''
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from pfpn_tpu.distributed.mesh import (
+    default_mesh, init_distributed, make_sharded_ppo)
+assert init_distributed() is True
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from pfpn_tpu.envs.deepmimic import StepResult
+from pfpn_tpu.algos.ppo import PPO, PPOConfig
+from pfpn_tpu.networks import ACConfig, ActorCritic, ParticleHead
+
+
+class ToyEnv:
+    observation_size = 4
+    action_size = 2
+    action_low = np.full(2, -1.0)
+    action_high = np.full(2, 1.0)
+
+    @struct.dataclass
+    class S:
+        key: jax.Array
+
+    def reset(self, key):
+        return self.S(key=key), jnp.zeros(4)
+
+    def reset_batch(self, keys):
+        return jax.vmap(self.reset)(keys)
+
+    def step_autoreset(self, states, actions, keys):
+        reward = -jnp.sum((actions - 0.4) ** 2, axis=-1)
+        obs = jnp.zeros((actions.shape[0], 4))
+        done = jnp.ones(actions.shape[0], bool)
+        res = StepResult(states, obs, reward, done, jnp.zeros_like(done),
+                         done)
+        return self.S(key=keys), obs, res
+
+    def observe(self, s):
+        return jnp.zeros(4)
+
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+env = ToyEnv()
+head = ParticleHead(action_dim=2, particles=5, resample=0)
+net = ActorCritic(ACConfig(obs_dim=4, head=head, actor_shape=(16,),
+                           critic_shape=(16,), normalize_state=False,
+                           normalize_advantage=True, gamma=0.0, lambd=0.0))
+ppo = PPO(env, net, PPOConfig(num_envs=16, unroll_length=4,
+                              minibatch_size=16, opt_epochs=1))
+state, train_round = make_sharded_ppo(ppo, default_mesh(),
+                                      jax.random.PRNGKey(0))
+state, metrics = train_round(state)
+print("LOSS", float(jax.device_get(
+    metrics["loss"].addressable_shards[0].data)))
+'''
+
+
+def test_init_distributed_two_process_global_mesh(tmp_path):
+    """True multi-host emulation: two OS processes join one jax.distributed
+    cluster through init_distributed(), form a single 8-device global data
+    mesh (4 local CPU devices each), and run a full sharded PPO train round —
+    the gradient all-reduce crosses the process boundary (Gloo, the CPU
+    analog of DCN). Both ranks must report the identical replicated loss.
+    This is the rebuild's analog of the reference's localhost-cluster
+    emulation (multiprocessing + tf.train.Server, distributed_model.py:
+    514-524, SURVEY.md §4)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # pick a free port, release before spawn
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "dcn_worker.py"
+    script.write_text(_DCN_WORKER.format(repo=repo))
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PALLAS_AXON_POOL_IPS="",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    losses = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSS")]
+        assert line, out
+        losses.append(float(line[0].split()[1]))
+    assert np.isfinite(losses[0])
+    assert losses[0] == losses[1]  # replicated output, bitwise equal
+
+
 def test_init_distributed_joins_single_process_cluster():
     """Positive path: a real (1-process) jax.distributed cluster on CPU.
 
