@@ -35,6 +35,7 @@ def _strip(state: Any) -> Any:
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 1):
         self.directory = os.path.abspath(directory)
+        self._max_to_keep = max_to_keep
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -51,11 +52,39 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore_latest(self, template: Any) -> Optional[Any]:
+        """Restore the newest checkpoint, or None when there is none or it
+        is incompatible with the current state layout.
+
+        Tolerant restore (PARITY.md deviation 13): a checkpoint written by
+        an older code version (different tree structure) must not brick the
+        implicit startup resume — log and train from scratch instead, like
+        the reference chief starting fresh when no restorable state exists.
+        """
         step = self._mgr.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(_strip(template)))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(_strip(template)))
+        except Exception as e:  # structure/dtype mismatch from old formats
+            # preserve the old checkpoint (max_to_keep=1 would otherwise
+            # overwrite it on the next save), then start fresh
+            aside = f"{self.directory}.incompatible.{step}"
+            try:
+                os.rename(os.path.join(self.directory, str(step)), aside)
+                self._mgr.close()
+                self._mgr = ocp.CheckpointManager(
+                    self.directory,
+                    options=ocp.CheckpointManagerOptions(
+                        max_to_keep=self._max_to_keep, create=True),
+                )
+                moved = f"; moved aside to {aside}"
+            except OSError:
+                moved = ""
+            print(f"[SYSTEM] checkpoint at step {step} is incompatible with "
+                  f"the current state layout ({type(e).__name__}); starting "
+                  f"fresh{moved}", flush=True)
+            return None
         # re-attach the template's fresh (empty) versions of skipped fields
         keep = {f: getattr(template, f) for f in _SKIP_FIELDS
                 if hasattr(template, f) and getattr(template, f) is not None}

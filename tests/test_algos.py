@@ -438,6 +438,42 @@ def test_sac_checkpoint_skips_replay_buffer(tmp_path):
     assert int(restored.buffer.size) == int(template.buffer.size)
 
 
+def test_restore_latest_tolerates_incompatible_checkpoint(tmp_path):
+    """A checkpoint from an older state layout must not brick the implicit
+    startup resume (PARITY.md deviation 13): restore_latest returns None,
+    preserves the old checkpoint by moving it aside (max_to_keep=1 would
+    otherwise overwrite it), and subsequent saves work."""
+    import os
+
+    from flax import struct
+
+    from pfpn_tpu.harness.checkpoint import CheckpointManager
+
+    @struct.dataclass
+    class OldState:
+        a: jax.Array
+
+    @struct.dataclass
+    class NewState:
+        a: jax.Array
+        b: jax.Array  # field the old checkpoint lacks
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(7, OldState(a=jnp.ones(3)))
+    ckpt.close()
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    out = ckpt2.restore_latest(NewState(a=jnp.zeros(3), b=jnp.zeros(2)))
+    assert out is None
+    aside = str(tmp_path / "ck") + ".incompatible.7"
+    assert os.path.isdir(aside)
+    # manager is healthy after the move: fresh save + restore round-trips
+    ckpt2.save(1, NewState(a=jnp.full(3, 2.0), b=jnp.zeros(2)))
+    back = ckpt2.restore_latest(NewState(a=jnp.zeros(3), b=jnp.zeros(2)))
+    ckpt2.close()
+    assert back is not None and float(back.a[0]) == 2.0
+
+
 def test_sac_updates_per_step_preserves_grad_ratio():
     """Batched SAC rollout (num_envs=N) must do N gradient steps per env
     round so the reference's 1-grad-step-per-sample ratio survives
