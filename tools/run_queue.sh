@@ -98,10 +98,12 @@ elif [ "$phase" = "r3d" ]; then
       --particles 35 --seed 34114 --suffix mult16 --env_multiplier 16 \
       --max_samples 15000000 --save_checkpoint_interval 100000 --train
   sleep 120
+  # three motion subgraphs compile in the first round — allow extra time
+  # before the stall watchdog declares a hang
   run results/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log \
     python -m pfpn_tpu --env DeepMimicMultiTask-v0 \
       --setting deepmimic_dppo_pfpn --particles 35 --seed 34114 \
-      --suffix exactgeom --max_samples 45000000 --train
+      --suffix exactgeom --max_samples 45000000 --stall_timeout 2400 --train
 elif [ "$phase" = "r3c" ]; then
   # Multi-task training demo (beyond-reference capability): one PFPN-35
   # policy with a task one-hot learns walk+punch+kick in a single vmapped
