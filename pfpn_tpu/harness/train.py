@@ -145,8 +145,11 @@ def train(cfg: RunConfig, root: str = ".",
             last_ckpt_step = step
             wd.beat()
 
-    wd.stop()
+    # keep the watchdog armed through the final save (it device_gets the
+    # state and can hang like any fetch); a post-stall retry re-enters with
+    # samples already reached and lands back here immediately
     ckpt.save(int(state.global_step), state)
+    wd.stop()
     logger.close()
     ckpt.close()
     return state
