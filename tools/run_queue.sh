@@ -104,6 +104,25 @@ elif [ "$phase" = "r3d" ]; then
     python -m pfpn_tpu --env DeepMimicMultiTask-v0 \
       --setting deepmimic_dppo_pfpn --particles 35 --seed 34114 \
       --suffix exactgeom --max_samples 45000000 --stall_timeout 2400 --train
+elif [ "$phase" = "r4" ]; then
+  # Round-3 continuation after a VM reset wiped the (gitignored) ckpt
+  # dirs: the SAC 11.14M checkpoint is gone, so SAC reruns from scratch.
+  # Order: Kick exactgeom (completes the 3-task exact-geometry table),
+  # multi-task demo, then the long SAC full-budget run.
+  sleep 120
+  run results/dppo_pfpn35_kick_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicKick-v0 --setting deepmimic_dppo_pfpn \
+      --particles 35 --seed 34114 --suffix exactgeom --train
+  sleep 120
+  run results/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log \
+    python -m pfpn_tpu --env DeepMimicMultiTask-v0 \
+      --setting deepmimic_dppo_pfpn --particles 35 --seed 34114 \
+      --suffix exactgeom --max_samples 45000000 --stall_timeout 2400 --train
+  sleep 120
+  run results/sac_pfpn35_walk_seed34114_mult16b_tpu.log \
+    python -m pfpn_tpu --env DeepMimicWalk-v0 --setting deepmimic_sac_pfpn \
+      --particles 35 --seed 34114 --suffix mult16b --env_multiplier 16 \
+      --max_samples 15000000 --save_checkpoint_interval 100000 --train
 elif [ "$phase" = "r3c" ]; then
   # Multi-task training demo (beyond-reference capability): one PFPN-35
   # policy with a task one-hot learns walk+punch+kick in a single vmapped
