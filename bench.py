@@ -102,15 +102,17 @@ def main():
     batch = int(os.environ.get("PFPN_BENCH_BATCH", 8192)) * n_dev
     n_steps = int(os.environ.get("PFPN_BENCH_STEPS", 15))
     # the remote TPU tunnel occasionally throws transient INVALID_ARGUMENT
-    # errors (single-client backend); retry with a cooldown
+    # errors (single-client backend — e.g. a queued trainer holding the
+    # tunnel when the driver launches this); after a client collision the
+    # backend needs ~2-3 min to recover, so retry with a growing cooldown
     last_err = None
-    for attempt in range(3):
+    for attempt in range(5):
         try:
             steps_per_s = measure(batch, n_steps)
             break
         except Exception as e:  # noqa: BLE001
             last_err = e
-            time.sleep(120)
+            time.sleep(120 + 60 * attempt)
     else:
         raise last_err
     try:

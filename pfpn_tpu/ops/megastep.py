@@ -40,6 +40,7 @@ cannot capture array constants); the two mask tables that are genuinely 2-D
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -949,7 +950,10 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
     n, R, K = meta.ndof, meta.n_rows, meta.n_contacts
     rs = meta.rows_state
     b = st.shape[0]
-    tile = _LANES if b >= _LANES else b
+    # batch lanes per grid step; multiples of the 128-lane VPU width trade
+    # grid-step overhead against VMEM scratch (PFPN_MEGASTEP_TILE sweeps it)
+    tile = int(os.environ.get("PFPN_MEGASTEP_TILE", _LANES))
+    tile = tile if b >= tile else b
     pad = (-b) % tile
     if pad:
         ident = pack_state(meta, _identity_state(meta))

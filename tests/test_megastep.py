@@ -59,8 +59,12 @@ def test_megastep_env_path_matches_legacy_scan():
                   > env.motion.duration)
 
 
-def test_megastep_kernel_interpret_matches_primal():
+def test_megastep_kernel_interpret_matches_primal(monkeypatch):
     from pfpn_tpu.ops import megastep as ms
+
+    # B=6 with a 4-lane tile exercises the PFPN_MEGASTEP_TILE override,
+    # the identity-state batch padding (pad=2), and a 2-step grid.
+    monkeypatch.setenv("PFPN_MEGASTEP_TILE", "4")
 
     env = _env()
     eng = env.engine
@@ -69,7 +73,7 @@ def test_megastep_kernel_interpret_matches_primal():
                          eng.config.frame_skip, eng.config.gravity)
     cmask = eng.contact_set.ancestor_mask
 
-    B = 4
+    B = 6
     keys = jax.random.split(jax.random.PRNGKey(11), B)
     state, _ = jax.jit(env.reset_batch)(keys)
     sim = state.sim
