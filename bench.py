@@ -110,7 +110,9 @@ def main():
         try:
             steps_per_s = measure(batch, n_steps)
             break
-        except Exception as e:  # noqa: BLE001
+        except (ValueError, TypeError, KeyError):
+            raise  # deterministic config error (e.g. bad PFPN_BENCH_ENV)
+        except Exception as e:  # noqa: BLE001 — transient backend error
             last_err = e
             time.sleep(120 + 60 * attempt)
     else:

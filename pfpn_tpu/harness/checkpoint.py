@@ -17,6 +17,7 @@ would also write gigabytes every 1000 optimizer steps.
 from __future__ import annotations
 
 import os
+import time
 from typing import Any, Optional
 
 import jax
@@ -64,23 +65,34 @@ class CheckpointManager:
         if step is None:
             return None
         try:
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(_strip(template)))
-        except Exception as e:  # structure/dtype mismatch from old formats
+            restored = self._restore_retrying(step, template)
+        except (ValueError, KeyError, TypeError) as e:
+            # tree-structure/dtype mismatch from an old state layout —
             # preserve the old checkpoint (max_to_keep=1 would otherwise
-            # overwrite it on the next save), then start fresh
+            # overwrite it on the next save), then start fresh. Transient
+            # backend/IO errors are NOT classified here: _restore_retrying
+            # retries them and then re-raises, so a flaky tunnel can never
+            # silently restart a long run from scratch.
             aside = f"{self.directory}.incompatible.{step}"
+            n = 0
+            while os.path.exists(aside):  # unique target: rename onto an
+                n += 1                    # existing dir raises ENOTEMPTY
+                aside = f"{self.directory}.incompatible.{step}.{n}"
+            moved = ""
             try:
                 os.rename(os.path.join(self.directory, str(step)), aside)
-                self._mgr.close()
-                self._mgr = ocp.CheckpointManager(
+                # build the replacement manager BEFORE closing the old one
+                # so a creation failure never leaves self._mgr closed
+                new_mgr = ocp.CheckpointManager(
                     self.directory,
                     options=ocp.CheckpointManagerOptions(
                         max_to_keep=self._max_to_keep, create=True),
                 )
+                self._mgr.close()
+                self._mgr = new_mgr
                 moved = f"; moved aside to {aside}"
             except OSError:
-                moved = ""
+                pass
             print(f"[SYSTEM] checkpoint at step {step} is incompatible with "
                   f"the current state layout ({type(e).__name__}); starting "
                   f"fresh{moved}", flush=True)
@@ -89,6 +101,30 @@ class CheckpointManager:
         keep = {f: getattr(template, f) for f in _SKIP_FIELDS
                 if hasattr(template, f) and getattr(template, f) is not None}
         return restored.replace(**keep) if keep else restored
+
+    def _restore_retrying(self, step: int, template: Any,
+                          tries: int = 3, cooldown_s: float = 120.0) -> Any:
+        """Restore with retries for transient (non-layout) errors.
+
+        Layout mismatches (ValueError/KeyError/TypeError) propagate on the
+        first attempt — retrying cannot fix those. Anything else (remote
+        backend hiccups, flaky IO) is retried with a cooldown; if it still
+        fails, the error propagates so the failure is loud instead of
+        silently discarding the run's progress.
+        """
+        for attempt in range(tries):
+            try:
+                return self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(_strip(template)))
+            except (ValueError, KeyError, TypeError):
+                raise
+            except Exception as e:  # noqa: BLE001 — transient classification
+                if attempt == tries - 1:
+                    raise
+                print(f"[SYSTEM] checkpoint restore attempt {attempt + 1} "
+                      f"failed ({type(e).__name__}); retrying in "
+                      f"{cooldown_s:.0f}s", flush=True)
+                time.sleep(cooldown_s)
 
     def close(self):
         self._mgr.close()

@@ -38,12 +38,22 @@ def train(cfg: RunConfig, root: str = ".",
     timeout (hung remote backend) — a supervisor restart resumes from the
     latest checkpoint. Must exceed the first-round compile time.
     """
+    # arm the watchdog BEFORE any device work: startup itself runs device
+    # programs (reference-table FK in build_algo, init_state, checkpoint
+    # restore) and a relaunch after a stall can hit a still-dead tunnel
+    # right here — without the watchdog the retrying supervisor would hang
+    # forever instead of getting another exit-43 round
+    wd = Watchdog(stall_timeout_s)
+
     algo = build_algo(cfg)
+    wd.beat()
     key = jax.random.PRNGKey(cfg.seed)
     state = algo.init_state(key)
+    wd.beat()
 
     ckpt = CheckpointManager(cfg.checkpoint_dir(root))
     restored = ckpt.restore_latest(state)
+    wd.beat()
     if restored is not None:
         state = restored
         if verbose:
@@ -74,7 +84,7 @@ def train(cfg: RunConfig, root: str = ".",
     # (running average over all eval episodes, distributed_model.py:247-252)
     last_ckpt_step = int(state.global_step)
     t_start = time.time()
-    wd = Watchdog(stall_timeout_s)
+    wd.beat()
 
     while int(state.total_samples) < cfg.max_samples:
         if max_rounds is not None and round_idx >= max_rounds:
@@ -95,6 +105,10 @@ def train(cfg: RunConfig, root: str = ".",
         round_idx += 1
         if eval_every_rounds and round_idx % eval_every_rounds == 0:
             eval_key, k = jax.random.split(eval_key)
+            # the first evaluate() is a fresh multi-minute XLA compile —
+            # beat so it gets the same full grace window as a training
+            # round instead of whatever the last round left on the clock
+            wd.beat()
             try:
                 out = evaluate(state.params, state.norm, k)
             except Exception as e:  # transient backend errors must not kill training

@@ -951,8 +951,14 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
     rs = meta.rows_state
     b = st.shape[0]
     # batch lanes per grid step; multiples of the 128-lane VPU width trade
-    # grid-step overhead against VMEM scratch (PFPN_MEGASTEP_TILE sweeps it)
-    tile = int(os.environ.get("PFPN_MEGASTEP_TILE", _LANES))
+    # grid-step overhead against VMEM scratch (PFPN_MEGASTEP_TILE sweeps
+    # it; empty means unset, matching the PALLAS_AXON_POOL_IPS= convention)
+    tile_env = os.environ.get("PFPN_MEGASTEP_TILE", "")
+    tile = int(tile_env) if tile_env else _LANES
+    if tile <= 0:
+        raise ValueError(
+            f"PFPN_MEGASTEP_TILE={tile_env!r}: must be a positive int "
+            f"(multiples of {_LANES} lanes lower/perform best on TPU)")
     tile = tile if b >= tile else b
     pad = (-b) % tile
     if pad:

@@ -474,6 +474,51 @@ def test_restore_latest_tolerates_incompatible_checkpoint(tmp_path):
     assert back is not None and float(back.a[0]) == 2.0
 
 
+def test_restore_latest_retries_transient_errors(tmp_path, monkeypatch):
+    """Transient (non-layout) restore errors must NOT be classified as
+    incompatibility: retried, then re-raised — never a silent fresh start
+    that moves a good checkpoint aside (harness/checkpoint.py)."""
+    from flax import struct
+
+    from pfpn_tpu.harness import checkpoint as ckpt_mod
+
+    @struct.dataclass
+    class State:
+        a: jax.Array
+
+    ckpt = ckpt_mod.CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(3, State(a=jnp.ones(3)))
+
+    monkeypatch.setattr(ckpt_mod.time, "sleep", lambda s: None)
+    calls = {"n": 0}
+    real_restore = ckpt._mgr.restore
+
+    def flaky(step, args=None):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("tunnel INVALID_ARGUMENT")  # transient
+        return real_restore(step, args=args)
+
+    monkeypatch.setattr(ckpt._mgr, "restore", flaky)
+    out = ckpt.restore_latest(State(a=jnp.zeros(3)))
+    assert out is not None and calls["n"] == 3  # recovered on retry 3
+
+    # persistent transient error: propagates loudly, no move-aside
+    calls["n"] = 0
+    monkeypatch.setattr(
+        ckpt._mgr, "restore",
+        lambda step, args=None: (_ for _ in ()).throw(RuntimeError("dead")))
+    try:
+        ckpt.restore_latest(State(a=jnp.zeros(3)))
+        raised = False
+    except RuntimeError:
+        raised = True
+    ckpt.close()
+    assert raised
+    import os
+    assert not os.path.exists(str(tmp_path / "ck") + ".incompatible.3")
+
+
 def test_sac_updates_per_step_preserves_grad_ratio():
     """Batched SAC rollout (num_envs=N) must do N gradient steps per env
     round so the reference's 1-grad-step-per-sample ratio survives

@@ -8,8 +8,18 @@
 set -u
 cd "$(dirname "$0")/.."
 
-while ! grep -q "END results/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log rc=0" \
-    results/queue_r3.log; do
+# fire only when a clean END follows the MOST RECENT START for the
+# multi-task log: queue_r3.log is append-only across phases and earlier
+# phases reuse the same log filename, so a bare grep could match a stale
+# line and kill the queue while a trainer still owns the TPU
+mt_done() {
+  awk '
+    /START results\/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log/ {s=NR; e=0}
+    /END results\/dppo_pfpn35_multitask_seed34114_exactgeom_tpu.log rc=0/ {if (s && NR>s) e=NR}
+    END {exit !(e)}
+  ' results/queue_r3.log
+}
+while ! mt_done; do
   sleep 60
 done
 
