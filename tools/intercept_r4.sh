@@ -30,6 +30,10 @@ sleep 180  # tunnel cooldown after the trainer exited (CLAUDE.md caveat 1)
 
 bash tools/bench_tile_sweep.sh > results/tile_sweep_tpu.log 2>&1
 sleep 60
+# multi-task batch throughput (BASELINE "4096 vmapped multi-task envs")
+PFPN_BENCH_ENV=DeepMimicMultiTask-v0 PFPN_BENCH_BATCH=4096 \
+  timeout 900 python bench.py > results/bench_multitask_tpu.log 2>&1
+sleep 60
 timeout 900 python tools/profile_envstep.py > results/profile_envstep_r3.log 2>&1
 sleep 120
 
