@@ -105,6 +105,12 @@ class MegaMeta:
     limit_erp: float
     up: int = 1
     eps: float = 1e-8
+    # URDF link tables (for the optional link-state output: emit_links)
+    link_body: Tuple[int, ...] = ()
+    link_pos: Tuple[F3, ...] = ()
+    link_quat: Tuple[F4, ...] = ()
+    link_ipos: Tuple[F3, ...] = ()
+    link_iquat: Tuple[F4, ...] = ()
 
     # ---- state row layout -------------------------------------------------
     @property
@@ -114,6 +120,15 @@ class MegaMeta:
     @property
     def n_rows(self) -> int:
         return 3 * self.n_contacts + self.n_lim
+
+    # link-state output layout: per link, 20 rows —
+    # frame_pos(3), frame_quat(4), com_pos(3), com_quat(4),
+    # lin_vel(3), ang_vel(3) (sim/dynamics.py LinkStates field order)
+    LINK_ROWS = 20
+
+    @property
+    def n_links(self) -> int:
+        return len(self.link_body)
 
     def row_q_sph(self, s):  # 4 rows
         return 13 + 4 * s
@@ -216,6 +231,15 @@ def build_meta(tree, gains, contact_params, contact_set, dt, frame_skip,
         slop=contact_params.slop, iterations=contact_params.iterations,
         relaxation=contact_params.relaxation, cfm=contact_params.cfm,
         limit_erp=contact_params.limit_erp, up=contact_params.up_dir,
+        link_body=tuple(int(x) for x in tree.link_body),
+        link_pos=tuple(t3(tree.link_pos[l])
+                       for l in range(tree.link_pos.shape[0])),
+        link_quat=tuple(tuple(float(x) for x in tree.link_quat[l])
+                        for l in range(tree.link_quat.shape[0])),
+        link_ipos=tuple(t3(tree.link_inertial_pos[l])
+                        for l in range(tree.link_inertial_pos.shape[0])),
+        link_iquat=tuple(tuple(float(x) for x in tree.link_inertial_quat[l])
+                         for l in range(tree.link_inertial_quat.shape[0])),
     )
 
 
@@ -251,7 +275,7 @@ def unpack_state(meta: MegaMeta, mat: jnp.ndarray, template):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(meta: MegaMeta):
+def _make_kernel(meta: MegaMeta, emit_links: bool = False):
     m = meta
     n = m.ndof
     K = m.n_contacts
@@ -361,9 +385,21 @@ def _make_kernel(meta: MegaMeta):
 
     kd_dt = [kdv * dt for kdv in m.kd]
 
+    def qmul_r_static(q1, sq):
+        """(traced quat) * (static 4-floats)."""
+        x1, y1, z1, w1 = q1
+        x2, y2, z2, w2 = sq
+        return (w2 * x1 + x2 * w1 - y2 * z1 + z2 * y1,
+                w2 * y1 + x2 * z1 + y2 * w1 - z2 * x1,
+                w2 * z1 - x2 * y1 + y2 * x1 + z2 * w1,
+                w2 * w1 - x2 * x1 - y2 * y1 - z2 * z1)
+
     def kernel(st_ref, tgt_sph_ref, tgt_rev_ref, cmask_ref,
-               st_out, act_out, hist_out,
-               minv_scr, hinv_scr, rows_scr, w_scr, a_scr):
+               st_out, act_out, hist_out, *rest):
+        if emit_links:
+            links_out = rest[0]
+            rest = rest[1:]
+        minv_scr, hinv_scr, rows_scr, w_scr, a_scr = rest
         t = st_ref.shape[-1]
         zero1 = jnp.zeros((1, t), dtype=jnp.float32)
 
@@ -871,6 +907,90 @@ def _make_kernel(meta: MegaMeta):
         st_out[...] = st_fin
         act_out[...] = act_fin
 
+        if emit_links:
+            # ====== final link states (PyBullet getLinkState semantics,
+            # sim/dynamics.py:link_states) from the POST-integration state:
+            # one extra FK + spatial-velocity pass (the loop's internal FK
+            # reflects pre-step state, so it cannot be reused). This lets
+            # env.step skip its XLA-side fk+link_states epilogue entirely.
+            def frow(i):
+                return st_fin[i:i + 1, :]
+
+            base_quat = tuple(frow(i) for i in range(4))
+            base_pos = tuple(frow(4 + i) for i in range(3))
+            base_ang = tuple(frow(7 + i) for i in range(3))
+            base_lin = tuple(frow(10 + i) for i in range(3))
+            q_sph = [tuple(frow(m.row_q_sph(s) + c) for c in range(4))
+                     for s in range(m.n_sph)]
+            w_sph = [tuple(frow(m.row_w_sph(s) + c) for c in range(3))
+                     for s in range(m.n_sph)]
+            q_rev = [frow(m.row_q_rev(r)) for r in range(m.n_rev)]
+            w_rev = [frow(m.row_w_rev(r)) for r in range(m.n_rev)]
+
+            # FK (identical recursion to the substep's)
+            q_w = [None] * m.nb
+            p_w = [None] * m.nb
+            R_w = [None] * m.nb
+            q_w[0] = base_quat
+            p_w[0] = base_pos
+            R_w[0] = q2R(base_quat)
+            for b in m.topo:
+                p = m.parent[b]
+                if m.jtype[b] == 1:
+                    qj = q_sph[m.sph_index[b]]
+                else:
+                    ax = m.joint_axis[b]
+                    half = 0.5 * q_rev[m.rev_index[b]]
+                    sh, ch = jnp.sin(half), jnp.cos(half)
+                    qj = (ax[0] * sh, ax[1] * sh, ax[2] * sh, ch)
+                rel = qmul_static(m.joint_quat[b], qj)
+                q_w[b] = qnormalize(qmul(q_w[p], rel))
+                R_w[b] = q2R(q_w[b])
+                off = Rv_static(R_w[p], m.joint_pos[b])
+                p_w[b] = tuple(p_w[p][i] + off[i] for i in range(3))
+
+            # world-origin spatial velocity per body:
+            # vhat_b = vhat_parent + sum_d col_d * v_d, with rotational
+            # col_d = [a_w; p_b x a_w] and linear col_d = [0; a_w]
+            vhat = [None] * m.nb
+            pxw = cross(base_pos, base_ang)
+            vhat[0] = (base_ang[0], base_ang[1], base_ang[2],
+                       base_lin[0] + pxw[0],
+                       base_lin[1] + pxw[1],
+                       base_lin[2] + pxw[2])
+            for b in m.topo:
+                p = m.parent[b]
+                d = m.dof_offset[b]
+                add = [zero1] * 6
+                for c in range(m.dof_count[b]):
+                    if m.jtype[b] == 1:
+                        vd = w_sph[m.sph_index[b]][c]
+                    else:
+                        vd = w_rev[m.rev_index[b]]
+                    a_w = Rv_static(R_w[b], m.dof_axis[d + c])
+                    pxa = cross(p_w[b], a_w)
+                    for i in range(3):
+                        add[i] = add[i] + a_w[i] * vd
+                        add[3 + i] = add[3 + i] + pxa[i] * vd
+                vhat[b] = tuple(vhat[p][r6] + add[r6] for r6 in range(6))
+
+            for l in range(m.n_links):
+                b = m.link_body[l]
+                lp_off = Rv_static(R_w[b], m.link_pos[l])
+                fp = tuple(p_w[b][i] + lp_off[i] for i in range(3))
+                fq = qmul_r_static(q_w[b], m.link_quat[l])
+                Rf = q2R(fq)
+                ip_off = Rv_static(Rf, m.link_ipos[l])
+                cp = tuple(fp[i] + ip_off[i] for i in range(3))
+                cq = qmul_r_static(fq, m.link_iquat[l])
+                w_l = (vhat[b][0], vhat[b][1], vhat[b][2])
+                wxc = cross(w_l, cp)
+                lv = tuple(vhat[b][3 + i] + wxc[i] for i in range(3))
+                rows = list(fp) + list(fq) + list(cp) + list(cq) \
+                    + list(lv) + list(w_l)
+                links_out[pl_ds(m.LINK_ROWS * l, m.LINK_ROWS), :] = (
+                    jnp.concatenate(rows, axis=0))
+
     return kernel
 
 
@@ -940,10 +1060,11 @@ def pl_ds(start, size):
 
 def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
                     tgt_sph: jnp.ndarray, tgt_rev: jnp.ndarray,
-                    interpret: bool = False):
+                    interpret: bool = False, emit_links: bool = False):
     """Batched control step. st: (B, rows_state); tgt_sph: (B, 4*n_sph);
     tgt_rev: (B, n_rev). Returns (st', active (B, n_cand),
-    base_hist (B, frame_skip, 3))."""
+    base_hist (B, frame_skip, 3)) — plus links (B, LINK_ROWS*n_links)
+    when emit_links (final link states, meta.LINK_ROWS layout)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -982,17 +1103,24 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
     tbl = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    st_o, act_o, hist_o = pl.pallas_call(
-        _make_kernel(meta),
-        out_shape=(
-            jax.ShapeDtypeStruct((rs, bp), jnp.float32),
-            jax.ShapeDtypeStruct((meta.n_cand, bp), jnp.float32),
-            jax.ShapeDtypeStruct((3 * meta.frame_skip, bp), jnp.float32),
-        ),
+    out_shape = [
+        jax.ShapeDtypeStruct((rs, bp), jnp.float32),
+        jax.ShapeDtypeStruct((meta.n_cand, bp), jnp.float32),
+        jax.ShapeDtypeStruct((3 * meta.frame_skip, bp), jnp.float32),
+    ]
+    out_specs = [spec(rs), spec(meta.n_cand), spec(3 * meta.frame_skip)]
+    if emit_links:
+        lr = meta.LINK_ROWS * meta.n_links
+        out_shape.append(jax.ShapeDtypeStruct((lr, bp), jnp.float32))
+        out_specs.append(spec(lr))
+
+    outs = pl.pallas_call(
+        _make_kernel(meta, emit_links=emit_links),
+        out_shape=tuple(out_shape),
         grid=(bp // tile,),
         in_specs=[spec(rs), spec(4 * meta.n_sph), spec(meta.n_rev),
                   tbl(meta.ndof, meta.n_cand)],
-        out_specs=(spec(rs), spec(meta.n_cand), spec(3 * meta.frame_skip)),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((n, n, tile), jnp.float32),
             pltpu.VMEM((n, n, tile), jnp.float32),
@@ -1004,10 +1132,14 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
         ],
         interpret=interpret,
     )(st_l, ts_l, tr_l, cmask_j)
+    st_o, act_o, hist_o = outs[:3]
 
     st_o = jnp.transpose(st_o, (1, 0))[:b]
     act_o = jnp.transpose(act_o, (1, 0))[:b] > 0.5
     hist_o = jnp.transpose(hist_o, (1, 0))[:b].reshape(b, meta.frame_skip, 3)
+    if emit_links:
+        links_o = jnp.transpose(outs[3], (1, 0))[:b]
+        return st_o, act_o, hist_o, links_o
     return st_o, act_o, hist_o
 
 
@@ -1028,12 +1160,28 @@ def _identity_state(meta: MegaMeta):
 # public entry: custom_vmap
 # ---------------------------------------------------------------------------
 
-def make_megastep(meta: MegaMeta, cmask: np.ndarray, reference_substep):
+def links_to_states(meta: MegaMeta, arr: jnp.ndarray):
+    """(..., LINK_ROWS*n_links) kernel rows -> sim.dynamics.LinkStates."""
+    from ..sim.dynamics import LinkStates
+    a = arr.reshape(arr.shape[:-1] + (meta.n_links, meta.LINK_ROWS))
+    return LinkStates(
+        frame_pos=a[..., 0:3], frame_quat=a[..., 3:7],
+        com_pos=a[..., 7:10], com_quat=a[..., 10:14],
+        lin_vel=a[..., 14:17], ang_vel=a[..., 17:20])
+
+
+def make_megastep(meta: MegaMeta, cmask: np.ndarray, reference_substep,
+                  link_state_fn=None):
     """Build the batched control-step function.
 
     ``reference_substep(state, t_sph, t_rev) -> (state', active_all,
     base_pos)`` is the per-env substep (engine fused path) used as the
     unbatched primal and as the CPU fallback under vmap.
+
+    With ``link_state_fn(state') -> LinkStates`` the returned function also
+    emits the final link states as a fourth output: computed inside the
+    kernel on TPU (emit_links — saves the env-step fk/link_states
+    epilogue), via link_state_fn in the primal/CPU fallback.
     """
     cmask = np.asarray(cmask, dtype=np.float32)
 
@@ -1044,6 +1192,8 @@ def make_megastep(meta: MegaMeta, cmask: np.ndarray, reference_substep):
 
         st, (acts, hist) = jax.lax.scan(
             body, state, None, length=meta.frame_skip)
+        if link_state_fn is not None:
+            return st, acts[-1], hist, link_state_fn(st)
         return st, acts[-1], hist
 
     @jax.custom_batching.custom_vmap
@@ -1065,9 +1215,14 @@ def make_megastep(meta: MegaMeta, cmask: np.ndarray, reference_substep):
         if jax.default_backend() == "tpu":
             st_mat = pack_state(meta, state)
             ts = t_sph.reshape(axis_size, 4 * meta.n_sph)
-            st_o, act, hist = megastep_pallas(meta, cmask, st_mat, ts, t_rev)
-            out_state = unpack_state(meta, st_o, state)
-            out = (out_state, act, hist)
+            outs = megastep_pallas(meta, cmask, st_mat, ts, t_rev,
+                                   emit_links=link_state_fn is not None)
+            out_state = unpack_state(meta, outs[0], state)
+            if link_state_fn is not None:
+                out = (out_state, outs[1], outs[2],
+                       links_to_states(meta, outs[3]))
+            else:
+                out = (out_state, outs[1], outs[2])
         else:
             out = jax.vmap(_primal)(state, t_sph, t_rev)
         batched = jax.tree.map(lambda _: True, out)

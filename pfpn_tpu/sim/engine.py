@@ -26,7 +26,7 @@ from ..ops.linalg import spd_inverse_pair
 from . import contact as contact_mod
 from .contact import ContactParams, ContactSet
 from .dynamics import (
-    advance, apply_joint_torques, crba, fk, pack_velocity, rnea,
+    advance, apply_joint_torques, crba, fk, link_states, pack_velocity, rnea,
 )
 from .types import KinematicTree, REVOLUTE, SimState
 
@@ -55,6 +55,11 @@ class EngineConfig:
     # eliminates the per-substep XLA launch soup. SPD mode only; env.step
     # uses it via control_step_full. Off on CPU automatically.
     megastep: bool = True
+    # additionally emit the final link states from inside the kernel
+    # (megastep.py emit_links), letting env.step skip its XLA-side
+    # fk+link_states epilogue. Equivalence-tested; default off pending an
+    # A/B benchmark on real hardware (PFPN_MEGASTEP_LINKS=1 overrides).
+    megastep_links: bool = False
 
 
 class Engine:
@@ -78,6 +83,7 @@ class Engine:
         if config.fused and config.control_mode == "spd" and gains is not None:
             self._substep_core = self._build_substep_core()
         self.mega = None
+        self.mega_links = None
         if (config.megastep and self._substep_core is not None):
             from ..ops.megastep import build_meta, make_megastep
             meta = build_meta(
@@ -86,6 +92,13 @@ class Engine:
             self.mega = make_megastep(
                 meta, self.contact_set.ancestor_mask,
                 self._substep_fused_core_full)
+            import os
+            if config.megastep_links or os.environ.get(
+                    "PFPN_MEGASTEP_LINKS", "") not in ("", "0"):
+                self.mega_links = make_megastep(
+                    meta, self.contact_set.ancestor_mask,
+                    self._substep_fused_core_full,
+                    link_state_fn=lambda st: link_states(tree, fk(tree, st)))
 
     def _build_substep_core(self):
         from ..ops.substep_lin import SubstepMeta, make_substep_core
@@ -229,6 +242,12 @@ class Engine:
         elsewhere. Requires SPD mode with megastep enabled."""
         assert self.mega is not None, "megastep not enabled"
         return self.mega(state, target_sph, target_rev)
+
+    def control_step_links(self, state: SimState, target_sph, target_rev):
+        """control_step_full + final LinkStates emitted by the kernel
+        (EngineConfig.megastep_links / PFPN_MEGASTEP_LINKS=1)."""
+        assert self.mega_links is not None, "megastep_links not enabled"
+        return self.mega_links(state, target_sph, target_rev)
 
     def link_contact_from_active(self, active: jnp.ndarray) -> jnp.ndarray:
         """Map per-candidate contact flags to per-link flags (+base slot)."""

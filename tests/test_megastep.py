@@ -59,11 +59,43 @@ def test_megastep_env_path_matches_legacy_scan():
                   > env.motion.duration)
 
 
-def test_megastep_kernel_interpret_matches_primal(monkeypatch):
-    from pfpn_tpu.ops import megastep as ms
+def test_megastep_links_env_path_matches_default(monkeypatch):
+    """env.step with megastep_links (kernel-emitted link states; CPU
+    fallback = link_states(fk(.))) must match the default epilogue path."""
+    monkeypatch.setenv("PFPN_MEGASTEP_LINKS", "1")
+    env = make("DeepMimicWalk-v0")
+    assert env.engine.mega_links is not None
 
-    # B=6 with a 4-lane tile exercises the PFPN_MEGASTEP_TILE override,
-    # the identity-state batch padding (pad=2), and a 2-step grid.
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    st, _ = jax.jit(env.reset_batch)(keys)
+    acts = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                   (2, env.action_size))
+    res_new = jax.jit(jax.vmap(env.step))(st, acts)
+
+    ml = env.engine.mega_links
+    try:
+        env.engine.mega_links = None
+        res_old = jax.jit(jax.vmap(env.step))(st, acts)
+    finally:
+        env.engine.mega_links = ml
+
+    np.testing.assert_allclose(np.asarray(res_new.obs),
+                               np.asarray(res_old.obs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_new.reward),
+                               np.asarray(res_old.reward), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res_new.done),
+                                  np.asarray(res_old.done))
+
+
+def test_megastep_kernel_interpret_matches_primal(monkeypatch):
+    """Both kernel variants (default and emit_links) against the
+    scan-of-substeps primal; B=6 with a 4-lane tile exercises the
+    PFPN_MEGASTEP_TILE override, the identity-state batch padding (pad=2),
+    and a 2-step grid. The emit_links variant's link rows are checked
+    against the XLA-side link_states(fk(.)) epilogue they replace."""
+    from pfpn_tpu.ops import megastep as ms
+    from pfpn_tpu.sim.dynamics import fk, link_states
+
     monkeypatch.setenv("PFPN_MEGASTEP_TILE", "4")
 
     env = _env()
@@ -99,9 +131,9 @@ def test_megastep_kernel_interpret_matches_primal(monkeypatch):
     want_st, want_act, want_hist = jax.vmap(primal)(sim, tgt_sph, tgt_rev)
 
     st_mat = ms.pack_state(meta, sim)
-    got_mat, got_act, got_hist = ms.megastep_pallas(
+    got_mat, got_act, got_hist, got_links = ms.megastep_pallas(
         meta, cmask, st_mat, tgt_sph.reshape(B, -1), tgt_rev,
-        interpret=True)
+        interpret=True, emit_links=True)
     got_st = ms.unpack_state(meta, got_mat, sim)
 
     np.testing.assert_allclose(np.asarray(got_st.base_pos),
@@ -120,3 +152,25 @@ def test_megastep_kernel_interpret_matches_primal(monkeypatch):
                                   np.asarray(want_act))
     # contacts actually engaged at some point
     assert np.asarray(want_act).sum() > 0
+
+    # in-kernel link states == the epilogue they replace, on the SAME
+    # final state (quats compared up to sign)
+    ls_got = ms.links_to_states(meta, got_links)
+    ls_want = jax.vmap(lambda s: link_states(eng.tree, fk(eng.tree, s)))(
+        got_st)
+    for f in ("frame_pos", "com_pos", "lin_vel", "ang_vel"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ls_got, f)),
+            np.asarray(getattr(ls_want, f)), atol=5e-4, err_msg=f)
+    for f in ("frame_quat", "com_quat"):
+        g, w = np.asarray(getattr(ls_got, f)), np.asarray(getattr(ls_want, f))
+        sign = np.where(np.sum(g * w, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+        np.testing.assert_allclose(g * sign, w, atol=5e-4, err_msg=f)
+
+    # default (no-links) kernel variant: same outputs on the same inputs
+    d_mat, d_act, d_hist = ms.megastep_pallas(
+        meta, cmask, st_mat, tgt_sph.reshape(B, -1), tgt_rev,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(d_mat), np.asarray(got_mat),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d_act), np.asarray(got_act))

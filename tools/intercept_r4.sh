@@ -34,6 +34,11 @@ sleep 60
 PFPN_BENCH_ENV=DeepMimicMultiTask-v0 PFPN_BENCH_BATCH=4096 \
   timeout 900 python bench.py > results/bench_multitask_tpu.log 2>&1
 sleep 60
+# A/B the kernel-emitted link states (ops/megastep.py emit_links — skips
+# the env-step fk+link_states epilogue; flip the default if this wins)
+PFPN_MEGASTEP_LINKS=1 timeout 900 python bench.py \
+  > results/bench_links_tpu.log 2>&1
+sleep 60
 timeout 900 python tools/profile_envstep.py > results/profile_envstep_r3.log 2>&1
 sleep 120
 
