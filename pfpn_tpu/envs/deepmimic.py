@@ -305,7 +305,15 @@ class DeepMimicEnv:
             init_time=init_time,
             ref_pos_offset=jnp.zeros(3),
         )
-        return state, self.observe(state)
+        # the lift is a pure UP-translation, so the lifted pose's link
+        # states are the pre-lift ones with positions shifted (rotations
+        # and material-point velocities are translation-invariant) —
+        # observe() reuses this FK instead of running a second one. This
+        # matters because step_autoreset computes reset_batch every step.
+        ls = link_states(self.tree, fkr)
+        ls = ls._replace(frame_pos=ls.frame_pos.at[:, UP].add(lift),
+                         com_pos=ls.com_pos.at[:, UP].add(lift))
+        return state, self.observe(state, ls=ls)
 
     # -- step ------------------------------------------------------------
     @f32_precision
