@@ -66,6 +66,9 @@ def main():
                     help="must match the training run for checkpoint export")
     ap.add_argument("--play", default=None, help="npz to evaluate instead")
     ap.add_argument("--episodes", type=int, default=10)
+    ap.add_argument("--record", default=None,
+                    help="with --play: also roll deterministic episodes and "
+                         "write a trajectory npz for tools/view_trajectory.py")
     args = ap.parse_args()
 
     import jax
@@ -101,6 +104,19 @@ def main():
         print(f"[PLAY] {args.play}: reward {rew.mean():.2f} "
               f"(min {rew.min():.2f} max {rew.max():.2f}) "
               f"frames {frames.mean():.0f}")
+        if args.record:
+            import types
+
+            from pfpn_tpu.harness.eval import rollout_trajectory
+
+            shim = types.SimpleNamespace(params=params, norm=norm)
+            pos, quat, done, ret = rollout_trajectory(
+                cfg, shim, algo, num_episodes=min(args.episodes, 3))
+            tree = getattr(algo.env, "env", algo.env).tree
+            np.savez(args.record, link_pos=pos, link_quat=quat, done=done,
+                     link_names=np.array(tree.link_names))
+            print(f"[PLAY] wrote trajectory to {args.record} "
+                  f"(episode rewards {np.round(ret, 1)})")
         return
 
     from pfpn_tpu.harness.checkpoint import CheckpointManager
