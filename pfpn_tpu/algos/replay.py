@@ -1,55 +1,99 @@
-"""Uniform replay buffer as preallocated device arrays.
+"""Uniform replay buffer as one preallocated packed device array.
 
 Rebuild of the reference's ring Buffer (models/workers/ddpg.py:11-27) with
 fixed-shape device storage: O(1) insertion via dynamic scatter, uniform
 sampling via random gather — everything inside jit.
+
+The dict-of-fields API is preserved, but storage is ONE (capacity, D)
+float32 array with a static field→column-slice spec. Packing helps the
+device path twice: insert/sample are a single scatter/gather instead of
+one per field, and under a mesh (ring replicated, transitions sharded —
+distributed/mesh.py) the insert costs one all-gather of the packed rows
+instead of five small per-field ones — fewer, larger collectives on ICI.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
 @struct.dataclass
 class ReplayBuffer:
-    data: Dict[str, jnp.ndarray]   # each (capacity, ...)
+    data: jnp.ndarray              # (capacity, D) packed float32
     pointer: jnp.ndarray           # ()
     size: jnp.ndarray              # ()
+    # static field spec: name -> (col_offset, col_size, trailing_shape, dtype)
+    spec: Tuple[Tuple[str, Tuple[int, int, Tuple[int, ...], str]], ...] = (
+        struct.field(pytree_node=False, default=()))
 
     @property
     def capacity(self) -> int:
-        return next(iter(self.data.values())).shape[0]
+        return self.data.shape[0]
+
+
+def _build_spec(example: Dict[str, jnp.ndarray]):
+    spec = []
+    off = 0
+    for k in sorted(example):
+        v = example[k]
+        shape = tuple(int(s) for s in v.shape[1:])
+        size = int(np.prod(shape)) if shape else 1
+        spec.append((k, (off, size, shape, str(v.dtype))))
+        off += size
+    return tuple(spec), off
+
+
+def _pack(spec, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    n = next(iter(batch.values())).shape[0]
+    cols = [batch[k].reshape(n, -1).astype(jnp.float32) for k, _ in spec]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack(spec, rows: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    n = rows.shape[0]
+    out = {}
+    for k, (off, size, shape, dtype) in spec:
+        col = rows[:, off:off + size].reshape((n,) + shape)
+        out[k] = col.astype(dtype)
+    return out
 
 
 def create(capacity: int, example: Dict[str, jnp.ndarray]) -> ReplayBuffer:
-    data = {
-        k: jnp.zeros((capacity,) + v.shape[1:], v.dtype)
-        for k, v in example.items()
-    }
+    spec, width = _build_spec(example)
     return ReplayBuffer(
-        data=data, pointer=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32)
+        data=jnp.zeros((capacity, width), jnp.float32),
+        pointer=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+        spec=spec,
     )
 
 
 def add_batch(buf: ReplayBuffer, batch: Dict[str, jnp.ndarray]) -> ReplayBuffer:
     """Insert a batch of transitions (wraps around the ring)."""
-    n = next(iter(batch.values())).shape[0]
+    packed = _pack(buf.spec, batch)
+    n = packed.shape[0]
     cap = buf.capacity
     idx = (buf.pointer + jnp.arange(n)) % cap
-    data = {k: buf.data[k].at[idx].set(v) for k, v in batch.items()}
     return ReplayBuffer(
-        data=data,
+        data=buf.data.at[idx].set(packed),
         pointer=(buf.pointer + n) % cap,
         size=jnp.minimum(buf.size + n, cap),
+        spec=buf.spec,
     )
+
+
+def contents(buf: ReplayBuffer) -> Dict[str, jnp.ndarray]:
+    """The whole ring as per-field (capacity, ...) arrays (diagnostics)."""
+    return _unpack(buf.spec, buf.data)
 
 
 def sample(buf: ReplayBuffer, key, batch_size: int) -> Dict[str, jnp.ndarray]:
     """Uniform sampling with replacement (reference flat_train off-policy
     path, distributed_model.py:345-351)."""
     idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buf.size, 1))
-    return {k: v[idx] for k, v in buf.data.items()}
+    return _unpack(buf.spec, buf.data[idx])

@@ -64,6 +64,13 @@ class SACConfig:
     policy_delay: int = 2
     act_noise: float = 0.1
     target_noise: float = 0.2
+    # Ornstein-Uhlenbeck exploration (original DDPG; reference defaults it
+    # off in favor of Gaussian, ddpg.py:19): per-env mean-reverting state
+    # n <- (1 - theta*dt)*n + sigma*sqrt(dt)*N(0,1)  (ddpg.py:134-143)
+    ou_noise: bool = False
+    ou_sigma: float = 0.3
+    ou_theta: float = 0.15
+    ou_dt: float = 0.01
 
 
 @struct.dataclass
@@ -81,6 +88,8 @@ class SACState:
     total_samples: jnp.ndarray
     ep_return: jnp.ndarray
     last_ep_return: jnp.ndarray
+    # per-env OU exploration noise (zeros and unused unless cfg.ou_noise)
+    ou_state: jnp.ndarray = None
 
 
 class SAC:
@@ -132,11 +141,17 @@ class SAC:
         if cfg.algo == "sac":
             params["log_alpha"] = jnp.zeros(())
 
-        # target nets: critics always; DDPG also targets the actor
-        target = {"q1": params["q1"], "q2": params["q2"]}
+        # target nets: critics always; DDPG also targets the actor.
+        # jnp.copy matters: target leaves must be DISTINCT buffers from the
+        # online params — donate_argnums on the jitted train_round otherwise
+        # donates the same buffer twice, which multi-device Execute rejects
+        # (and the partition that rejects it leaves the other partitions
+        # hanging in their first collective).
+        target = {"q1": jax.tree.map(jnp.copy, params["q1"]),
+                  "q2": jax.tree.map(jnp.copy, params["q2"])}
         if cfg.algo == "ddpg":
             target["actor"] = {
-                k: params[k] for k in params
+                k: jax.tree.map(jnp.copy, params[k]) for k in params
                 if k not in ("q1", "q2", "log_alpha")
             }
 
@@ -157,6 +172,7 @@ class SAC:
             total_samples=jnp.zeros((), jnp.int32),
             ep_return=jnp.zeros(cfg.num_envs),
             last_ep_return=jnp.zeros(cfg.num_envs),
+            ou_state=jnp.zeros((cfg.num_envs, act_dim)),
         )
 
     # -- forward helpers ----------------------------------------------------
@@ -175,16 +191,23 @@ class SAC:
         feat = self.net.actor_features(params, norm, obs)
         return deterministic_action(self.net.cfg.head, params["head"], feat)
 
-    def _explore_action(self, params, norm, key, obs):
-        """Behavior action during rollout."""
+    def _explore_action(self, params, norm, key, obs, ou):
+        """Behavior action during rollout. Returns (action, aux, new_ou)."""
         cfg = self.cfg
         if cfg.algo == "sac":
             a, _, aux = self._actor_sample(params, norm, key, obs)
-            return a, aux
-        # DDPG: deterministic + Gaussian noise (ddpg.py:130-158)
+            return a, aux, ou
+        # DDPG: deterministic + exploration noise (ddpg.py:130-158)
         a = self._actor_mode(params, norm, obs)
+        if cfg.ou_noise:
+            # Ornstein-Uhlenbeck (ddpg.py:134-143): persistent mean-
+            # reverting noise state, one process per env
+            ou = ((1.0 - cfg.ou_theta * cfg.ou_dt) * ou
+                  + cfg.ou_sigma * np.sqrt(cfg.ou_dt)
+                  * jax.random.normal(key, a.shape))
+            return a + ou, {}, ou
         a = a + cfg.act_noise * jax.random.normal(key, a.shape)
-        return a, {}
+        return a, {}, ou
 
     def _clip_action(self, a):
         low = getattr(self.env, "action_low", None)
@@ -295,7 +318,8 @@ class SAC:
         def step(carry, _):
             state = carry
             key, k_act, k_reset, _k_samp, k_upd = jax.random.split(state.key, 5)
-            a, aux = self._explore_action(state.params, state.norm, k_act, state.obs)
+            a, aux, ou = self._explore_action(
+                state.params, state.norm, k_act, state.obs, state.ou_state)
             if self._is_pfpn and "probs" in aux:
                 stats = update_activation_stats(state.head_stats, aux["probs"])
             else:
@@ -321,25 +345,30 @@ class SAC:
             # the round's buffer snapshot — num_envs of them keeps the
             # reference's 1-grad-step-per-sample ratio (flat_train off-policy
             # branch, distributed_model.py:345-351) under batched rollout.
+            # Gating is select-based (compute, then `where(can_train, ...)`)
+            # rather than `lax.cond`: under GSPMD the sharded-env→replicated-
+            # ring insert means the sampled batch arrives via an all-gather,
+            # and a collective sunk into a cond branch deadlocks the CPU
+            # collective runtime (rendezvous waits for all partitions; only
+            # the taken branch's thread arrives). can_train is False only
+            # while the ring holds < batch_size samples, so the discarded
+            # wasted update costs nothing in steady state.
             def inner(icarry, ik):
                 params, target, opt_state, norm, stats_c, gstep = icarry
                 k_samp, k_up = jax.random.split(ik)
                 batch = replay.sample(buf, k_samp, cfg.batch_size)
 
-                def do_update(_):
-                    return self._update_step(
-                        params, target, opt_state, norm, stats_c, batch,
-                        k_up, gstep,
-                    )
-
-                def no_update(_):
-                    return (params, target, opt_state, norm, stats_c, gstep,
-                            {"loss": jnp.zeros(()), "critic_loss": jnp.zeros(()),
-                             "actor_loss": jnp.zeros(()),
-                             **({"alpha": jnp.exp(params["log_alpha"])}
-                                if cfg.algo == "sac" else {})})
-
-                out = jax.lax.cond(can_train, do_update, no_update, None)
+                new = self._update_step(
+                    params, target, opt_state, norm, stats_c, batch,
+                    k_up, gstep,
+                )
+                old = (params, target, opt_state, norm, stats_c, gstep,
+                       {"loss": jnp.zeros(()), "critic_loss": jnp.zeros(()),
+                        "actor_loss": jnp.zeros(()),
+                        **({"alpha": jnp.exp(params["log_alpha"])}
+                           if cfg.algo == "sac" else {})})
+                out = jax.tree.map(
+                    lambda a, b: jnp.where(can_train, a, b), new, old)
                 return out[:6], out[6]
 
             (params, target, opt_state, norm, stats2, gstep), im = jax.lax.scan(
@@ -354,7 +383,7 @@ class SAC:
                 head_stats=stats2, buffer=buf, env_state=new_env_state,
                 obs=next_obs, key=key, global_step=gstep,
                 total_samples=state.total_samples + cfg.num_envs,
-                ep_return=ep_ret, last_ep_return=last_ret,
+                ep_return=ep_ret, last_ep_return=last_ret, ou_state=ou,
             )
             return new_state, metrics
 

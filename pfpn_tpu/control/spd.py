@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import cho_solve
@@ -238,40 +239,79 @@ def clamp_torques(tree: KinematicTree, torques: List[jnp.ndarray]) -> List[jnp.n
     return out
 
 
-def pd_position_torques(
+@f32_precision
+def implicit_motor_impulses(
     tree: KinematicTree,
     state: SimState,
+    h_inv: jnp.ndarray,          # (ndof, ndof) inverse mass matrix
+    v_star: jnp.ndarray,         # (ndof,) predicted pre-constraint velocity
     target_sph: jnp.ndarray,
     target_rev: jnp.ndarray,
+    dt: float,
     position_gain: float = 0.3,
+    velocity_gain: float = 1.0,
+    iterations: int = 16,
+    relaxation: float = 1.0,
 ):
-    """Explicit-PD approximation of Bullet's POSITION_CONTROL motor.
+    """Bullet POSITION_CONTROL parity: velocity-level joint motor constraint.
 
-    The reference's non-SPD position mode (agent.py:290-315) drives each
-    joint with Bullet's constraint-based servo (positionGain=0.3, force
-    capped at the joint's effort limit). That servo is a velocity-level
-    constraint solved implicitly; here it is approximated by an explicit PD
-    whose stiffness is the effort limit reached at ~0.3 rad error and whose
-    damping is near-critical for the 600 Hz substep. Unused by all shipped
-    presets (they use SPD); provided for control-mode parity.
+    The reference's non-SPD position mode (agent.py:290-315) calls
+    ``setJointMotorControl{2,MultiDof}(POSITION_CONTROL, positionGain=0.3,
+    force=torque_lim)``; Bullet realizes that as a btMultiBodyJointMotor
+    constraint row per motor dof, solved implicitly with the velocity-level
+    target ``dv = kp * (q_t - q)/dt + kd * (0 - v)`` (default velocityGain
+    kd=1, targetVelocity 0) and the impulse clamped to ``force * dt``.
+
+    Rebuilt here in generalized coordinates: the motor Jacobian is a dof
+    selection matrix, so the Delassus operator is the motor-row submatrix
+    of H^-1 and the QP (box for revolute, per-joint L2 ball for spherical —
+    matching agent.py:317-339's norm clamp) is solved with the same
+    projected-Jacobi / Gershgorin-row-sum iteration as the contact solver
+    (sim/contact.py:346-374; sequential Gauss-Seidel measured 17% slower on
+    TPU). Deviation from Bullet (PARITY.md #8): motor rows are solved
+    *before* — not jointly with — the contact rows of the same substep.
+
+    Returns the (ndof,) impulse vector (zeros on the unactuated base rows);
+    apply as ``v += h_inv @ p`` and log torque as ``p / dt``.
     """
-    out = []
-    for mi, b in enumerate(tree.motor_bodies):
-        lim = float(tree.motor_torque_limit[mi])
-        kp = position_gain * lim / 0.1
-        kd = 0.05 * kp / 30.0
-        if tree.joint_type[b] == REVOLUTE:
-            r = int(tree.rev_index[b])
-            e = target_rev[r] - state.q_rev[r]
-            tau = kp * e - kd * state.w_rev[r]
-            out.append(jnp.clip(tau[None], -lim, lim))
-        else:
-            s = int(tree.sph_index[b])
-            axis, angle = quat.quat_to_axis_angle(
-                quat.quat_diff_rel(state.q_sph[s], target_sph[s])
-            )
-            tau = kp * axis * angle - kd * state.w_sph[s]
-            n = jnp.linalg.norm(tau)
-            scale = jnp.where(n > lim, lim / jnp.maximum(n, 1e-9), 1.0)
-            out.append(tau * scale)
-    return out
+    sph_dofs, rev_dofs = _motor_dof_tables(tree)
+    sph_lim, rev_lim = _motor_limits(tree)
+    m_idx = np.concatenate([sph_dofs, rev_dofs]).astype(np.int64)
+    n_s = sph_dofs.shape[0]  # = n_sph * 3
+
+    e = jnp.zeros(tree.ndof)
+    if tree.n_sph:
+        axis, angle = quat.quat_to_axis_angle(
+            quat.quat_diff_rel(state.q_sph, target_sph))
+        e = e.at[sph_dofs].set((axis * angle[:, None]).reshape(-1))
+    if tree.n_rev:
+        e = e.at[rev_dofs].set(target_rev - state.q_rev)
+
+    # desired velocity change on motor rows
+    r = (position_gain * e[m_idx] / dt
+         - velocity_gain * v_star[m_idx])
+
+    d_mat = h_inv[np.ix_(m_idx, m_idx)]
+    rowsum = jnp.sum(jnp.abs(d_mat), axis=1)
+    step = relaxation / jnp.maximum(rowsum, 1e-9)
+
+    cap_rev = jnp.asarray(rev_lim, dtype=jnp.float32) * dt
+    cap_sph = jnp.asarray(sph_lim, dtype=jnp.float32) * dt
+
+    def project(p):
+        if tree.n_sph:
+            p3 = p[:n_s].reshape(tree.n_sph, 3)
+            n = jnp.linalg.norm(p3, axis=-1)
+            scale = jnp.where(n > cap_sph, cap_sph / jnp.maximum(n, 1e-9), 1.0)
+            p = p.at[:n_s].set((p3 * scale[:, None]).reshape(-1))
+        if tree.n_rev:
+            p = p.at[n_s:].set(jnp.clip(p[n_s:], -cap_rev, cap_rev))
+        return p
+
+    def body(_, p):
+        return project(p + step * (r - d_mat @ p))
+
+    p = jax.lax.fori_loop(0, iterations, body, jnp.zeros(m_idx.shape[0]))
+    return jnp.zeros(tree.ndof).at[m_idx].set(p)
+
+

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # `carry` is the per-env LSTM (c, h) of the recurrent path (None elsewhere;
 # an empty subtree shards trivially).
 DATA_FIELDS = frozenset(
-    {"env_state", "obs", "ep_return", "last_ep_return", "carry"})
+    {"env_state", "obs", "ep_return", "last_ep_return", "carry",
+     "ou_state"})
 
 
 def state_shardings(state, mesh: Mesh):
@@ -50,18 +51,30 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, state_shardings(state, mesh))
 
 
-def make_sharded_ppo(ppo, mesh: Mesh, key, donate: bool = True):
-    """Returns (sharded_state, jitted_train_round) for a PPO/A2C/V-trace
-    instance on the given mesh. num_envs must divide the data-axis size."""
-    assert ppo.cfg.num_envs % mesh.shape["data"] == 0, (
-        f"num_envs={ppo.cfg.num_envs} not divisible by mesh "
+def make_sharded(algo, mesh: Mesh, key, donate: bool = True):
+    """Returns (sharded_state, jitted_train_round) for any algo family on
+    the given mesh — PPO/A2C/V-trace (PPOState) and SAC/DDPG (SACState)
+    share the contract: ``cfg.num_envs``, ``init_state(key)``,
+    ``train_round(state)``. Per-env fields (DATA_FIELDS) shard over the
+    data axis; params/optimizer/normalizer — and, for off-policy, the
+    replay ring (reference ddpg.py:11-27's host buffer) — replicate, so
+    every device samples identical minibatches from its replica and the
+    gradient all-reduce is the only cross-device traffic XLA must insert.
+    num_envs must divide the data-axis size."""
+    assert algo.cfg.num_envs % mesh.shape["data"] == 0, (
+        f"num_envs={algo.cfg.num_envs} not divisible by mesh "
         f"data axis {mesh.shape['data']}"
     )
-    state = shard_state(ppo.init_state(key), mesh)
+    state = shard_state(algo.init_state(key), mesh)
     train_round = jax.jit(
-        ppo.train_round, donate_argnums=(0,) if donate else ()
+        algo.train_round, donate_argnums=(0,) if donate else ()
     )
     return state, train_round
+
+
+# historical name (round-2/3 tests and docs); the helper was never
+# PPO-specific beyond its name
+make_sharded_ppo = make_sharded
 
 
 def default_mesh(n_devices: int | None = None) -> Mesh:

@@ -501,8 +501,10 @@ class DeepMimicEnv:
 
     # -- reward (deepmimic.py:594-753) ------------------------------------
     @f32_precision
-    def reward(self, state: EnvState, terminated,
-               ls: Optional[object] = None) -> jnp.ndarray:
+    def _reward_errors(self, state: EnvState,
+                       ls: Optional[object] = None) -> dict:
+        """The five raw imitation error terms (pre exp/weighting), shared by
+        reward() and the diagnostic reward_terms()."""
         tree = self.tree
         sim = state.sim
 
@@ -575,14 +577,30 @@ class DeepMimicEnv:
             ref_com_vel = jnp.sum(m * ref_ls.lin_vel, axis=0) / self.link_mass.sum()
         com_err = 0.1 * jnp.sum((com_vel - ref_com_vel) ** 2)
 
+        return {"pose": pose_err, "vel": vel_err, "end_eff": end_err,
+                "root": root_err, "com": com_err}
+
+    @f32_precision
+    def reward(self, state: EnvState, terminated,
+               ls: Optional[object] = None) -> jnp.ndarray:
+        e = self._reward_errors(state, ls)
         reward = (
-            _WEIGHTS["pose"] * jnp.exp(-_SCALES["pose"] * pose_err)
-            + _WEIGHTS["vel"] * jnp.exp(-_SCALES["vel"] * vel_err)
-            + _WEIGHTS["end_eff"] * jnp.exp(-_SCALES["end_eff"] * end_err)
-            + _WEIGHTS["root"] * jnp.exp(-_SCALES["root"] * root_err)
-            + _WEIGHTS["com"] * jnp.exp(-_SCALES["com"] * com_err)
+            _WEIGHTS["pose"] * jnp.exp(-_SCALES["pose"] * e["pose"])
+            + _WEIGHTS["vel"] * jnp.exp(-_SCALES["vel"] * e["vel"])
+            + _WEIGHTS["end_eff"] * jnp.exp(-_SCALES["end_eff"] * e["end_eff"])
+            + _WEIGHTS["root"] * jnp.exp(-_SCALES["root"] * e["root"])
+            + _WEIGHTS["com"] * jnp.exp(-_SCALES["com"] * e["com"])
         )
         return jnp.where(terminated, 0.0, reward)
+
+    def reward_terms(self, state: EnvState, terminated,
+                     ls: Optional[object] = None) -> dict:
+        """Diagnostic: the five weighted exp-of-error components; their sum
+        equals reward() exactly (tools/reward_term_replay.py)."""
+        e = self._reward_errors(state, ls)
+        return {k: jnp.where(terminated, 0.0,
+                             _WEIGHTS[k] * jnp.exp(-_SCALES[k] * e[k]))
+                for k in _WEIGHTS}
 
     # -- batched API ------------------------------------------------------
     def reset_batch(self, keys: jax.Array):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..control.spd import (
-    SPDGains, clamp_torques, pd_position_torques, spd_accel, spd_errors,
+    SPDGains, clamp_torques, implicit_motor_impulses, spd_accel, spd_errors,
 )
 from ..math import quaternion as quat
 from ..ops.linalg import spd_inverse_pair
@@ -59,6 +59,9 @@ class EngineConfig:
     # (megastep.py emit_links), letting env.step skip its XLA-side
     # fk+link_states epilogue. Equivalence-tested; default off pending an
     # A/B benchmark on real hardware (PFPN_MEGASTEP_LINKS=1 overrides).
+    # Measured r4 (results/bench_links_tpu.log): on=154.3k vs off=151.1k
+    # sim steps/s, +0.4% policy-in-loop — inside run-to-run variance, so
+    # the simpler default stays off.
     megastep_links: bool = False
 
 
@@ -168,16 +171,25 @@ class Engine:
             # Stable-PD identity: unclamped-torque dynamics accelerate at
             # exactly `a`; only the torque clamp needs an H^-1 correction
             qdd = a + h_inv @ dtau
+        elif cfg.control_mode == "position":
+            # Bullet POSITION_CONTROL servo (agent.py:290-315): unforced
+            # dynamics first, then the implicit velocity-level motor
+            # constraint on the predicted velocity (control/spd.py)
+            from ..ops.linalg import spd_inverse
+            h_inv = spd_inverse(h + 1e-8 * eye)
+            v_pred = v + dt * (h_inv @ (-c))
+            p = implicit_motor_impulses(
+                tree, state, h_inv, v_pred, target_sph, target_rev, dt)
+            tau_applied = p / dt
+            v_star = v_pred + h_inv @ p
         else:
             from ..ops.linalg import spd_inverse
             h_inv = spd_inverse(h + 1e-8 * eye)
-            if cfg.control_mode == "position":
-                motor_tau = pd_position_torques(tree, state, target_sph, target_rev)
-            else:
-                motor_tau = clamp_torques(tree, torque_motors)
+            motor_tau = clamp_torques(tree, torque_motors)
             tau_applied = apply_joint_torques(tree, motor_tau)
             qdd = h_inv @ (tau_applied - c)
-        v_star = v + dt * qdd
+        if cfg.control_mode != "position":
+            v_star = v + dt * qdd
 
         sol = contact_mod.solve(
             tree, self.contact_set, cfg.contact, fkr, h_inv, v_star,

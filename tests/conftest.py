@@ -14,9 +14,20 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The CPU runtime's in-process collectives hard-abort the whole process
+# when a partition thread misses a rendezvous for 40 s — on this 1-core
+# box 8 partition programs share one thread pool, so when a TPU trainer
+# (or a second pytest) contends for the core, a slow-to-schedule partition
+# can trip it. Raise the warn/terminate timeouts so slow arrival is waited
+# out instead of SIGABRTing the test session. (A partition that *fails* at
+# dispatch still aborts the rest — that is a real bug surfacing, e.g. the
+# donate-aliased SACState targets this suite once caught.)
+for flag, val in (("xla_cpu_collective_call_warn_stuck_timeout_seconds", 120),
+                  ("xla_cpu_collective_call_terminate_timeout_seconds", 600)):
+    if flag not in flags:
+        flags = f"{flags} --{flag}={val}".strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # never open an axon tunnel connection from the test process — it can kill a
 # concurrently training TPU client (single-client backend)

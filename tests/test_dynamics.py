@@ -323,3 +323,90 @@ def test_sliding_ball_transitions_to_rolling(tmp_path):
     # bounded between pure-rolling-from-start and frictionless
     assert xs[-1] < v0 * 1.5
     assert xs[-1] > 5.0 / 7.0 * v0 * 1.5 * 0.9
+
+
+# -- Bullet POSITION_CONTROL servo (implicit motor constraint) ------------
+
+def test_position_control_tracks_target(tmp_path):
+    """Bullet POSITION_CONTROL parity (reference agent.py:290-315, rebuilt
+    as an implicit velocity-level motor constraint in control/spd.py): in
+    the unsaturated regime the servo's defining property holds — post-
+    substep velocity = kp*e/dt, so the error contracts geometrically
+    (e' = (1-kp)e) and the pendulum settles on the target against gravity
+    with near-zero residual velocity. The pendulum is light (I=0.018) with
+    effort 2000 so kp*e/dt stays reachable within one substep's impulse
+    cap for the whole trajectory; a *saturated* servo (cap ≪ the braking
+    impulse the kp*e/dt approach speed requires) limit-cycles around the
+    target in Bullet and here alike — that regime's cap semantics are
+    covered by test_implicit_motor_impulse_caps."""
+    path = tmp_path / "pend.urdf"
+    path.write_text(PENDULUM_URDF
+                    .replace('xyz="0 -1 0"', 'xyz="0 -0.3 0"')
+                    .replace('value="2.0"', 'value="0.2"')
+                    .replace('effort="100"', 'effort="2000"'))
+    tree = load_urdf(str(path), use_fixed_base=True)
+    eng = Engine(tree, EngineConfig(control_mode="position"))
+    st = zero_state(tree).replace(base_pos=jnp.array([0.0, 10.0, 0.0]))
+    tq = jnp.zeros((0, 4))
+    target = jnp.array([0.7])
+    st = jax.jit(lambda s: jax.lax.fori_loop(
+        0, 1200, lambda _, x: eng.substep(x, tq, target)[0], s))(st)  # 2 s
+    assert abs(float(st.q_rev[0]) - 0.7) < 0.01
+    assert abs(float(st.w_rev[0])) < 0.1
+
+
+def test_implicit_motor_velocity_constraint(tmp_path):
+    """Unclamped converged solve satisfies Bullet's motor rhs exactly: the
+    post-impulse motor velocity equals kp*e/dt + (1-kd)*v_pred (with the
+    default velocityGain kd=1, exactly kp*e/dt)."""
+    from pfpn_tpu.control.spd import implicit_motor_impulses
+
+    path = tmp_path / "pend.urdf"
+    # high effort so the impulse cap never binds
+    path.write_text(PENDULUM_URDF.replace('effort="100"', 'effort="1e7"'))
+    tree = load_urdf(str(path), use_fixed_base=True)
+    st = zero_state(tree).replace(q_rev=jnp.array([0.5]),
+                                  w_rev=jnp.array([-2.0]))
+    fkr = fk(tree, st)
+    h = crba(tree, fkr)
+    h_inv = jnp.linalg.inv(h + 1e-8 * jnp.eye(tree.ndof))
+    v_pred = pack_velocity(tree, st, fkr)
+    dt = 1.0 / 600.0
+    target = jnp.array([0.7])
+    p = implicit_motor_impulses(
+        tree, st, h_inv, v_pred, jnp.zeros((0, 4)), target, dt,
+        iterations=200)
+    v_after = np.asarray(v_pred + h_inv @ p)
+    expect = 0.3 * (0.7 - 0.5) / dt   # kp * e / dt, kd=1 cancels v_pred
+    np.testing.assert_allclose(v_after[-1], expect, rtol=1e-4)
+
+
+def test_implicit_motor_impulse_caps(tree, rand_state):
+    """Impulse clamping matches agent.py:317-339 semantics at the impulse
+    level: |p| <= effort*dt per revolute row, per-joint L2 norm <=
+    effort*dt for spherical; unactuated (base) rows carry zero."""
+    from pfpn_tpu.control.spd import (
+        _motor_dof_tables, _motor_limits, implicit_motor_impulses)
+
+    fkr = fk(tree, rand_state)
+    h = crba(tree, fkr)
+    h_inv = jnp.linalg.inv(h + 1e-8 * jnp.eye(tree.ndof))
+    v_star = pack_velocity(tree, rand_state, fkr)
+    dt = 1.0 / 600.0
+    # identity-quaternion targets vs the random pose: huge errors, so the
+    # caps are active on every joint
+    tq = jnp.zeros((tree.n_sph, 4)).at[:, 3].set(1.0)
+    tr = jnp.zeros(tree.n_rev)
+    p = np.asarray(implicit_motor_impulses(
+        tree, rand_state, h_inv, v_star, tq, tr, dt))
+
+    sph_dofs, rev_dofs = _motor_dof_tables(tree)
+    sph_lim, rev_lim = _motor_limits(tree)
+    p3 = p[sph_dofs].reshape(tree.n_sph, 3)
+    assert (np.linalg.norm(p3, axis=-1) <= sph_lim * dt * (1 + 1e-5)).all()
+    assert (np.abs(p[rev_dofs]) <= rev_lim * dt * (1 + 1e-5)).all()
+    rest = np.setdiff1d(np.arange(tree.ndof),
+                        np.concatenate([sph_dofs, rev_dofs]))
+    assert np.allclose(p[rest], 0.0)
+    # and at least one cap actually binds in this configuration
+    assert (np.linalg.norm(p3, axis=-1) > 0.9 * sph_lim * dt).any()

@@ -320,3 +320,21 @@ def test_multitask_env_matches_per_task_envs():
         np.testing.assert_allclose(
             np.asarray(res.reward[2 * k:2 * k + 2]), np.asarray(r_k.reward),
             rtol=1e-4, atol=1e-4)
+
+
+def test_reward_terms_sum_to_reward(env):
+    """reward_terms() is an exact decomposition: the five weighted terms
+    sum to reward() (diagnostic path for tools/reward_term_replay.py)."""
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    sim = state.sim.replace(
+        base_pos=state.sim.base_pos + jnp.array([0.1, 0.0, 0.0]))
+    st = state.replace(sim=sim)
+    for flag in (False, True):
+        t = jnp.asarray(flag)
+        terms = env.reward_terms(st, t)
+        assert set(terms) == {"pose", "vel", "end_eff", "root", "com"}
+        total = sum(terms.values())
+        r = env.reward(st, t)
+        np.testing.assert_allclose(np.asarray(total), np.asarray(r),
+                                   rtol=1e-6, atol=1e-7)
+    assert float(sum(env.reward_terms(st, jnp.asarray(True)).values())) == 0.0

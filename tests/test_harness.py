@@ -3,6 +3,7 @@ distributed_model.py:446-496 — an evaluator crash must not affect training
 side effects, in particular checkpointing)."""
 
 import dataclasses as dc
+import os
 
 import jax
 import pytest
@@ -120,6 +121,43 @@ def test_visualize_exports_trajectory(tmp_path):
     assert data["link_pos"].shape[1:] == (2, n_links, 3)
     assert data["link_quat"].shape[1:] == (2, n_links, 4)
     assert data["done"].dtype == bool
+
+
+def test_view_trajectory_writes_gif_and_mp4(tmp_path):
+    """The offline viewer (reference GUI playback + mp4 logging parity,
+    bullet_env.py:30-37) renders a trajectory npz to gif (Pillow) and mp4
+    (cv2) with the camera following the root link."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    pytest.importorskip("matplotlib")
+    pytest.importorskip("cv2")
+    from pfpn_tpu.envs.assets import humanoid_tree
+
+    nl = len(humanoid_tree().link_names)
+    T, E = 6, 1
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(T, E, nl, 3)).astype(np.float32)
+    pos[..., 1] += 1.0  # keep the figure above the ground plane
+    traj = tmp_path / "traj.npz"
+    np.savez(traj, link_pos=pos,
+             link_quat=np.zeros((T, E, nl, 4), np.float32),
+             done=np.zeros((T, E), bool),
+             link_names=np.array([f"l{i}" for i in range(nl)]))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for ext in ("gif", "mp4"):
+        out = tmp_path / f"clip.{ext}"
+        res = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools/view_trajectory.py"),
+             str(traj), "-o", str(out), "--stride", "1"],
+            capture_output=True, text=True, timeout=300,
+            env=dict(os.environ, JAX_PLATFORMS="cpu",
+                     PALLAS_AXON_POOL_IPS=""))
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert out.exists() and out.stat().st_size > 1000
 
 
 def test_train_accepts_stall_timeout(tmp_path):
