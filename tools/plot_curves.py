@@ -118,7 +118,7 @@ def main():
 
     plot([
         ("DPPO", "dppo_pfpn35_walk_seed34114_exactgeom_tpu.log"),
-        ("SAC", "sac_pfpn35_walk_seed34114_mult16_tpu.log"),
+        ("SAC", "sac_pfpn35_walk_seed34114_mult16b_tpu.log"),
         ("A3C", "a3c_pfpn35_walk_seed34114_tpu.log"),
         ("IMPALA", "impala_pfpn35_walk_seed34114_tpu.log"),
     ], "Algorithm families on DeepMimicWalk-v0 (PFPN-35, seed 34114)",
@@ -137,6 +137,49 @@ def main():
         plot([("Walk+Punch+Kick (one policy)", mt)],
              "Multi-task PFPN-35: three motions, one policy (task one-hot)",
              "curves_multitask.svg")
+
+    # algorithm x head validation matrix (the paper's motivating negative
+    # result: plain-Gaussian on-policy baselines collapse where PFPN and
+    # discretized heads learn)
+    fig, axes = plt.subplots(2, 2, figsize=(9.6, 6.4), dpi=120)
+    fig.patch.set_facecolor(SURFACE)
+    panels = [
+        ("A3C (Walk, preset geometry)", [
+            ("PFPN-35", "a3c_pfpn35_walk_seed34114_tpu.log"),
+            ("discrete", "a3c_dis_walk_seed34114_tpu.log"),
+            ("Gaussian", "a3c_gauss_walk_seed34114_tpu.log")]),
+        ("IMPALA (Walk, preset geometry)", [
+            ("PFPN-35", "impala_pfpn35_walk_seed34114_tpu.log"),
+            ("discrete", "impala_dis_walk_seed34114_tpu.log"),
+            ("Gaussian", "impala_gauss_walk_seed34114_tpu.log")]),
+        ("DPPO (Walk, mult8 geometry)", [
+            ("PFPN-35", "dppo_pfpn35_walk_seed34114_geom512_tpu.log"),
+            ("discrete", "dppo_dis_walk_seed34114_tpu.log"),
+            ("Gaussian", "dppo_gauss_walk_seed34114_tpu.log")]),
+        ("SAC (Walk, mult16 geometry)", [
+            ("PFPN-35", "sac_pfpn35_walk_seed34114_mult16b_tpu.log"),
+            ("Gaussian", "sac_gauss_walk_seed34114_mult16_tpu.log")]),
+    ]
+    for ax, (title, series) in zip(axes.ravel(), panels):
+        for (label, log_name), color in zip(series, SERIES):
+            c = curve(log_name)
+            if c is None:
+                print(f"  skip {log_name} (no data)", file=sys.stderr)
+                continue
+            x, y = c
+            ax.plot(x, y, color=color, linewidth=1.6,
+                    label=f"{label} ({y.max():.0f})")
+        style(ax, "env samples (M)", "eval reward")
+        ax.set_ylim(0, 600)
+        ax.set_xlim(left=0)
+        ax.set_title(title, color=INK, fontsize=9, loc="left")
+        ax.legend(frameon=False, fontsize=8, labelcolor=INK2,
+                  loc="upper left")
+    fig.tight_layout()
+    fig.savefig(os.path.join(RES, "curves_matrix.svg"), format="svg",
+                facecolor=SURFACE, bbox_inches="tight")
+    plt.close(fig)
+    print("wrote results/curves_matrix.svg")
 
 
 if __name__ == "__main__":
