@@ -36,11 +36,23 @@ class ReplayBuffer:
         return self.data.shape[0]
 
 
+# dtypes that round-trip exactly through the float32 packed storage
+_EXACT_VIA_F32 = frozenset(
+    ("float32", "float16", "bfloat16", "bool",
+     "int8", "int16", "uint8", "uint16"))
+
+
 def _build_spec(example: Dict[str, jnp.ndarray]):
     spec = []
     off = 0
     for k in sorted(example):
         v = example[k]
+        if str(v.dtype) not in _EXACT_VIA_F32:
+            raise TypeError(
+                f"replay field {k!r} has dtype {v.dtype}, which does not "
+                "round-trip exactly through the packed float32 ring "
+                f"(allowed: {sorted(_EXACT_VIA_F32)}); store a narrower "
+                "type or extend the ring with a second integer plane")
         shape = tuple(int(s) for s in v.shape[1:])
         size = int(np.prod(shape)) if shape else 1
         spec.append((k, (off, size, shape, str(v.dtype))))

@@ -62,6 +62,28 @@ def test_replay_ring_and_sampling():
     assert s["x"].shape == (16, 3)
 
 
+def test_replay_rejects_f32_lossy_dtypes():
+    """The packed ring stores everything as float32; field dtypes that do
+    not round-trip exactly (int32/int64/float64 above 2^24) must be
+    rejected loudly at create() rather than silently corrupted
+    (algos/replay.py _build_spec)."""
+    import pytest
+
+    # exact-via-f32 dtypes are accepted and round-trip
+    buf = replay.create(4, {"f": jnp.zeros((1, 2), jnp.float32),
+                            "b": jnp.zeros((1,), bool),
+                            "i": jnp.zeros((1,), jnp.int16)})
+    buf = replay.add_batch(buf, {"f": jnp.ones((1, 2)),
+                                 "b": jnp.ones((1,), bool),
+                                 "i": jnp.full((1,), -321, jnp.int16)})
+    out = replay.contents(buf)
+    assert out["b"].dtype == jnp.bool_ and bool(out["b"][0])
+    assert out["i"].dtype == jnp.int16 and int(out["i"][0]) == -321
+
+    with pytest.raises(TypeError, match="round-trip"):
+        replay.create(4, {"idx": jnp.zeros((1,), jnp.int32)})
+
+
 def test_settings_registry_complete():
     from pfpn_tpu.harness.settings import SETTINGS, build
 
@@ -538,13 +560,12 @@ def test_sac_checkpoint_skips_replay_buffer(tmp_path):
     assert int(restored.buffer.size) == int(template.buffer.size)
 
 
-def test_restore_latest_tolerates_incompatible_checkpoint(tmp_path):
-    """A checkpoint from an older state layout must not brick the implicit
-    startup resume (PARITY.md deviation 13): restore_latest returns None,
-    preserves the old checkpoint by moving it aside (max_to_keep=1 would
-    otherwise overwrite it), and subsequent saves work."""
-    import os
-
+def test_restore_latest_grafts_added_and_removed_fields(tmp_path):
+    """Additive state evolution must not cost a run its progress
+    (harness/checkpoint.py _try_graft): a checkpoint saved before a field
+    was added restores with the stored leaves kept and the new field at its
+    template init value; a checkpoint with a since-removed field restores
+    with that field dropped."""
     from flax import struct
 
     from pfpn_tpu.harness.checkpoint import CheckpointManager
@@ -559,17 +580,54 @@ def test_restore_latest_tolerates_incompatible_checkpoint(tmp_path):
         b: jax.Array  # field the old checkpoint lacks
 
     ckpt = CheckpointManager(str(tmp_path / "ck"))
-    ckpt.save(7, OldState(a=jnp.ones(3)))
+    ckpt.save(7, OldState(a=jnp.full(3, 5.0)))
+    ckpt.close()
+
+    # field added since the save: graft keeps stored a, inits b
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"))
+    out = ckpt2.restore_latest(NewState(a=jnp.zeros(3), b=jnp.full(2, 9.0)))
+    ckpt2.close()
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out.a), 5.0)
+    np.testing.assert_allclose(np.asarray(out.b), 9.0)
+
+    # field removed since the save: graft drops stored b
+    ckpt3 = CheckpointManager(str(tmp_path / "ck2"))
+    ckpt3.save(4, NewState(a=jnp.full(3, 7.0), b=jnp.ones(2)))
+    back = ckpt3.restore_latest(OldState(a=jnp.zeros(3)))
+    ckpt3.close()
+    assert back is not None
+    np.testing.assert_allclose(np.asarray(back.a), 7.0)
+
+
+def test_restore_latest_tolerates_incompatible_checkpoint(tmp_path):
+    """A genuinely incompatible checkpoint (shared-leaf shape conflict —
+    not graftable additive drift) must not brick the implicit startup
+    resume (PARITY.md deviation 13): restore_latest returns None, preserves
+    the old checkpoint by moving it aside (max_to_keep=1 would otherwise
+    overwrite it), and subsequent saves work."""
+    import os
+
+    from flax import struct
+
+    from pfpn_tpu.harness.checkpoint import CheckpointManager
+
+    @struct.dataclass
+    class State:
+        a: jax.Array
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(7, State(a=jnp.ones(3)))
     ckpt.close()
 
     ckpt2 = CheckpointManager(str(tmp_path / "ck"))
-    out = ckpt2.restore_latest(NewState(a=jnp.zeros(3), b=jnp.zeros(2)))
+    out = ckpt2.restore_latest(State(a=jnp.zeros(4)))  # shape conflict
     assert out is None
     aside = str(tmp_path / "ck") + ".incompatible.7"
     assert os.path.isdir(aside)
     # manager is healthy after the move: fresh save + restore round-trips
-    ckpt2.save(1, NewState(a=jnp.full(3, 2.0), b=jnp.zeros(2)))
-    back = ckpt2.restore_latest(NewState(a=jnp.zeros(3), b=jnp.zeros(2)))
+    ckpt2.save(1, State(a=jnp.full(4, 2.0)))
+    back = ckpt2.restore_latest(State(a=jnp.zeros(4)))
     ckpt2.close()
     assert back is not None and float(back.a[0]) == 2.0
 

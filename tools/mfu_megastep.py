@@ -27,7 +27,16 @@ import json
 import os
 import sys
 
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# NOTE: setting this here is too late to be a guarantee — sitecustomize
+# imports jax at interpreter start, which can already open a tunnel
+# connection (CLAUDE.md TPU caveat 4). The env-var *prefix* in the usage
+# line is the real guard; warn loudly when it was omitted.
+if "PALLAS_AXON_POOL_IPS" not in os.environ:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    print("[WARN] PALLAS_AXON_POOL_IPS was not set at interpreter start; "
+          "sitecustomize may have opened a tunnel connection already. If a "
+          "TPU job is training, rerun as: PALLAS_AXON_POOL_IPS= python "
+          "tools/mfu_megastep.py", file=sys.stderr, flush=True)
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -87,7 +87,9 @@ def main():
     terminated = np.asarray(terminated)
 
     names = sorted(terms)
-    ret = (reward * alive).sum(axis=0)
+    # where-mask, not multiply: post-done physics of a fallen pose can NaN,
+    # and NaN * 0 == NaN would poison the episode return
+    ret = np.where(alive, reward, 0.0).sum(axis=0)
     falls = (terminated & alive).any(axis=0)
     print(f"[TERMS] {args.env} {os.path.basename(args.play)}")
     print(f"  episode returns: {np.round(ret, 1)}  falls: {falls.tolist()}")
