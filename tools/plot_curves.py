@@ -117,6 +117,16 @@ def main():
         "curves_exactgeom.svg")
 
     plot([
+        ("34114", "dppo_pfpn35_walk_seed34114_exactgeom_tpu.log"),
+        ("33406", "dppo_pfpn35_walk_seed33406_exactgeom_tpu.log"),
+        ("28949", "dppo_pfpn35_walk_seed28949_exactgeom_tpu.log"),
+        ("12831", "dppo_pfpn35_walk_seed12831_exactgeom_tpu.log"),
+        ("39907", "dppo_pfpn35_walk_seed39907_exactgeom_tpu.log"),
+    ], "Walk seed robustness at the exact reference geometry "
+       "(5 benchmark.sh seeds, mean 568.1 ± 6.6)",
+        "curves_seeds.svg", legend_loc="lower right")
+
+    plot([
         ("DPPO", "dppo_pfpn35_walk_seed34114_exactgeom_tpu.log"),
         ("SAC", "sac_pfpn35_walk_seed34114_mult16b_tpu.log"),
         ("A3C", "a3c_pfpn35_walk_seed34114_tpu.log"),
