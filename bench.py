@@ -16,8 +16,24 @@ defeat async dispatch.
 
 import json
 import os
+import re
 import sys
 import time
+import traceback
+
+# Deterministic failure signatures: a retry can never fix these, so fail
+# fast with the real traceback instead of burning minutes in the backoff
+# loop (round-4 post-mortem: the tile-sweep >=256 failures and the DDPG
+# Mosaic error were both mislabeled "transient" and lost their root cause).
+_FATAL_RE = re.compile(
+    r"Mosaic failed to compile|failed to legalize|infer-vector-layout"
+    r"|RESOURCE_EXHAUSTED|INTERNAL: Mosaic|Unsupported|NotImplementedError",
+    re.IGNORECASE,
+)
+
+
+def _is_transient(exc: Exception) -> bool:
+    return _FATAL_RE.search(f"{type(exc).__name__}: {exc}") is None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -112,14 +128,21 @@ def main():
             break
         except (ValueError, TypeError, KeyError):
             raise  # deterministic config error (e.g. bad PFPN_BENCH_ENV)
-        except Exception as e:  # noqa: BLE001 — transient backend error
+        except Exception as e:  # noqa: BLE001
+            if not _is_transient(e):
+                # compile/Mosaic/OOM: deterministic — surface immediately
+                traceback.print_exc()
+                raise
             last_err = e
+            print(f"[bench] transient backend error (attempt {attempt}): "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
             time.sleep(120 + 60 * attempt)
     else:
         raise last_err
     try:
         policy_steps_per_s = measure_policy(batch, n_steps)
     except Exception:  # the sim number is the driver deliverable
+        traceback.print_exc()  # but never silently: stderr keeps the cause
         policy_steps_per_s = None
     target = 125_000.0 * n_dev
     out = {
