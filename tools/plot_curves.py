@@ -148,10 +148,16 @@ def main():
              "Multi-task PFPN-35: three motions, one policy (task one-hot)",
              "curves_multitask.svg")
 
+    plot([
+        ("PFPN-35", "ddpg_pfpn35_walk_seed34114_mult16_tpu.log"),
+        ("Gaussian", "ddpg_gauss_walk_seed34114_mult16_tpu.log"),
+    ], "DDPG head-to-head (Walk, mult16 geometry, 5 M budget)",
+        "curves_ddpg.svg", ymax=200, legend_loc="upper left")
+
     # algorithm x head validation matrix (the paper's motivating negative
     # result: plain-Gaussian on-policy baselines collapse where PFPN and
     # discretized heads learn)
-    fig, axes = plt.subplots(2, 2, figsize=(9.6, 6.4), dpi=120)
+    fig, axes = plt.subplots(2, 3, figsize=(13.8, 6.4), dpi=120)
     fig.patch.set_facecolor(SURFACE)
     panels = [
         ("A3C (Walk, preset geometry)", [
@@ -169,7 +175,12 @@ def main():
         ("SAC (Walk, mult16 geometry)", [
             ("PFPN-35", "sac_pfpn35_walk_seed34114_mult16b_tpu.log"),
             ("Gaussian", "sac_gauss_walk_seed34114_mult16_tpu.log")]),
+        ("DDPG (Walk, mult16 geometry, 5 M)", [
+            ("PFPN-35", "ddpg_pfpn35_walk_seed34114_mult16_tpu.log"),
+            ("Gaussian", "ddpg_gauss_walk_seed34114_mult16_tpu.log")]),
     ]
+    for ax in axes.ravel()[len(panels):]:
+        ax.set_visible(False)
     for ax, (title, series) in zip(axes.ravel(), panels):
         for (label, log_name), color in zip(series, SERIES):
             c = curve(log_name)
