@@ -149,6 +149,14 @@ def main():
              "curves_multitask.svg")
 
     plot([
+        ("34114", "dppo_pfpn35_punch_seed34114_exactgeom_tpu.log"),
+        ("33406", "dppo_pfpn35_punch_seed33406_exactgeom_tpu.log"),
+        ("28949", "dppo_pfpn35_punch_seed28949_exactgeom_tpu.log"),
+    ], "Punch seed robustness at the exact reference geometry "
+       "(mean 540.5 ± 4.3)",
+        "curves_punch_seeds.svg")
+
+    plot([
         ("PFPN-35", "ddpg_pfpn35_walk_seed34114_mult16_tpu.log"),
         ("Gaussian", "ddpg_gauss_walk_seed34114_mult16_tpu.log"),
     ], "DDPG head-to-head (Walk, mult16 geometry, 5 M budget)",
