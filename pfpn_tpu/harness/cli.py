@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--env_multiplier", type=int, default=1,
                    help="scale parallel envs & minibatch together")
     p.add_argument("--eval_every_rounds", type=int, default=50)
+    p.add_argument("--rounds_per_dispatch", type=int, default=1,
+                   help="chain this many train rounds per jitted host "
+                        "dispatch (amortizes the ~30 ms/call + ~30 ms/"
+                        "fetch tunnel overhead; results/TRAIN_PROFILE.md)")
     p.add_argument("--max_rounds", type=int, default=None)
     p.add_argument("--root", type=str, default=".")
     p.add_argument("--stall_timeout", type=float, default=1200.0,
@@ -78,7 +82,8 @@ def main(argv=None):
         train(cfg, root=args.root,
               eval_every_rounds=args.eval_every_rounds,
               max_rounds=args.max_rounds, debug=args.debug,
-              stall_timeout_s=args.stall_timeout)
+              stall_timeout_s=args.stall_timeout,
+              rounds_per_dispatch=args.rounds_per_dispatch)
     else:
         from .eval import visualize
         visualize(cfg, root=args.root)

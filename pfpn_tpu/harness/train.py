@@ -12,6 +12,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..distributed.mesh import default_mesh, shard_state
@@ -25,7 +26,8 @@ from .watchdog import Watchdog
 def train(cfg: RunConfig, root: str = ".",
           eval_every_rounds: int = 50, eval_episodes: int = 10,
           max_rounds: Optional[int] = None, verbose: bool = True,
-          debug: bool = False, stall_timeout_s: float = 0.0):
+          debug: bool = False, stall_timeout_s: float = 0.0,
+          rounds_per_dispatch: int = 1):
     """Train to cfg.max_samples; resume from the latest checkpoint if any.
 
     Uses every visible device: with >1 device the state is placed on a
@@ -37,6 +39,15 @@ def train(cfg: RunConfig, root: str = ".",
     watchdog.STALL_EXIT_CODE when no training round completes within the
     timeout (hung remote backend) — a supervisor restart resumes from the
     latest checkpoint. Must exceed the first-round compile time.
+
+    rounds_per_dispatch > 1 chains that many train rounds in one jitted
+    lax.scan per host dispatch. The remote tunnel costs ~30 ms per jitted
+    call plus ~30 ms per fetched leaf (results/TRAIN_PROFILE.md: 153 ms
+    host overhead per round at mult8 = 23% of the round); batching rounds
+    amortizes it. Metrics for every chained round are still logged
+    individually, evaluation triggers on each eval_every_rounds boundary
+    crossing, and the sample-count stop overshoots by at most
+    rounds_per_dispatch - 1 rounds.
     """
     # arm the watchdog BEFORE any device work: startup itself runs device
     # programs (reference-table FK in build_algo, init_state, checkpoint
@@ -73,7 +84,31 @@ def train(cfg: RunConfig, root: str = ".",
     # analog is per-round instead of per-10 s console output)
     logger = MetricsLogger(cfg.log_dir(root),
                            console_interval=0.0 if debug else 10.0)
-    train_round = jax.jit(algo.train_round)  # argument donation is broken on the axon tunnel backend
+    # Pack the metrics dict into two stacked vectors inside the jitted
+    # program: every np.asarray(scalar) is its own ~30 ms tunnel round
+    # trip, so the per-leaf dict fetch dominated host overhead
+    # (results/TRAIN_PROFILE.md). Ints (global_step/total_samples) stay
+    # int32 — exact where a float32 cast would round above 2^24.
+    # tracing the round for its metric schema is host-side Python — slow
+    # on a contended single-core host — and the first dispatch right after
+    # adds the full XLA compile: widen the stall window for both one-offs
+    wd.grace(max(stall_timeout_s, 1800.0))
+    mshapes = jax.eval_shape(algo.train_round, state)[1]
+    ikeys = tuple(k for k in sorted(mshapes)
+                  if np.issubdtype(mshapes[k].dtype, np.integer))
+    fkeys = tuple(k for k in sorted(mshapes) if k not in ikeys)
+    R = max(1, int(rounds_per_dispatch))
+
+    def _dispatch(st):
+        def body(c, _):
+            c, m = algo.train_round(c)
+            fvec = jnp.stack([m[k].astype(jnp.float32) for k in fkeys])
+            ivec = jnp.stack([m[k].astype(jnp.int32) for k in ikeys])
+            return c, (fvec, ivec)
+        st, (fv, iv) = jax.lax.scan(body, st, None, length=R)
+        return st, fv, iv
+
+    train_round_n = jax.jit(_dispatch)
     evaluate = jax.jit(
         lambda p, n, k: algo.evaluate(p, n, k, num_episodes=eval_episodes)
     )
@@ -89,26 +124,38 @@ def train(cfg: RunConfig, root: str = ".",
     while int(state.total_samples) < cfg.max_samples:
         if max_rounds is not None and round_idx >= max_rounds:
             break
-        state, metrics = train_round(state)
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        if round_idx == 0:
+            # the first dispatch includes the full train-round XLA compile
+            # (10+ min for the big replay-buffer presets over the remote
+            # compiler) — give it a wide one-off window so a steady-state
+            # stall_timeout_s does not 43-loop on a healthy compile
+            wd.grace(max(stall_timeout_s, 1800.0))
+        state, fv, iv = train_round_n(state)
+        fv, iv = np.asarray(fv), np.asarray(iv)   # 2 fetches per dispatch
         wd.beat()  # host fetch completed -> the backend is alive
-        step = int(metrics["global_step"])
-        logger.log(step, metrics, prefix="train/")
-        if verbose:
-            logger.console("TRAIN", step, {
-                "samples": metrics["total_samples"],
-                "loss": metrics["loss"],
-                "ep_reward": metrics["episode_reward"],
-                "sps": float(metrics["total_samples"]) / max(time.time() - t_start, 1e-9),
-            })
+        for r in range(R):
+            metrics = {k: fv[r, i] for i, k in enumerate(fkeys)}
+            metrics.update({k: iv[r, i] for i, k in enumerate(ikeys)})
+            step = int(metrics["global_step"])
+            logger.log(step, metrics, prefix="train/")
+            if verbose:
+                logger.console("TRAIN", step, {
+                    "samples": metrics["total_samples"],
+                    "loss": metrics["loss"],
+                    "ep_reward": metrics["episode_reward"],
+                    "sps": float(metrics["total_samples"]) / max(time.time() - t_start, 1e-9),
+                })
 
-        round_idx += 1
-        if eval_every_rounds and round_idx % eval_every_rounds == 0:
+        crossed = (eval_every_rounds
+                   and (round_idx + R) // eval_every_rounds
+                   > round_idx // eval_every_rounds)
+        round_idx += R
+        if crossed:
             eval_key, k = jax.random.split(eval_key)
             # the first evaluate() is a fresh multi-minute XLA compile —
-            # beat so it gets the same full grace window as a training
-            # round instead of whatever the last round left on the clock
-            wd.beat()
+            # widen the window instead of only resetting it, so an
+            # aggressive steady-state timeout survives the compile
+            wd.grace(max(stall_timeout_s, 900.0))
             try:
                 out = evaluate(state.params, state.norm, k)
             except Exception as e:  # transient backend errors must not kill training

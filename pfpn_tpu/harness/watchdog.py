@@ -51,6 +51,16 @@ class Watchdog:
     def beat(self) -> None:
         self._last = time.monotonic()
 
+    def grace(self, window_s: float) -> None:
+        """Extend the current stall window to at least ``window_s`` seconds
+        from now, without changing the steady-state timeout. Used before a
+        known-long one-off (the first train-round / evaluator XLA compile,
+        which can exceed a steady-state-tuned timeout several-fold over
+        the remote-compile tunnel); the next beat() returns the cadence to
+        normal."""
+        if self.timeout_s > 0 and window_s > self.timeout_s:
+            self._last = time.monotonic() + window_s - self.timeout_s
+
     def stop(self) -> None:
         self._stopped = True
 

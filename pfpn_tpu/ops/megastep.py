@@ -275,13 +275,22 @@ def unpack_state(meta: MegaMeta, mat: jnp.ndarray, template):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(meta: MegaMeta, emit_links: bool = False):
+def _make_kernel(meta: MegaMeta, emit_links: bool = False, sb: int = 1,
+                 cmask_static=None):
+    """``sb`` is the sublane-batch factor (PFPN_MEGASTEP_SB): at sb=1 every
+    per-env row quantity is a (1, T) vector (T lanes of batch, one sublane)
+    and matrices put their row axis in sublanes; at sb>1 a row quantity is
+    (sb, T) — sb*T envs per VPU op — and matrices keep their row axis as a
+    leading untiled dim (rank-3 values / rank-4 scratch). The arithmetic
+    per env is identical; only the layout changes (results/MFU.md's
+    batch-into-sublanes lever, VERDICT r4 item 6)."""
     m = meta
     n = m.ndof
     K = m.n_contacts
     R = m.n_rows
     dt = m.dt
     up = m.up
+    SBD = sb > 1
     t1x, t2x = [a for a in (0, 1, 2) if a != up]
 
     # ---- tiny (1, T) algebra helpers -------------------------------------
@@ -401,10 +410,36 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             rest = rest[1:]
         minv_scr, hinv_scr, rows_scr, w_scr, a_scr = rest
         t = st_ref.shape[-1]
-        zero1 = jnp.zeros((1, t), dtype=jnp.float32)
+        vshape = (sb, t) if SBD else (1, t)
+        zero1 = jnp.zeros(vshape, dtype=jnp.float32)
 
         def r1(ref, i):
-            return ref[i:i + 1, :]
+            """Row i of a ref/array as a row vector (vshape)."""
+            return ref[i] if SBD else ref[i:i + 1, :]
+
+        def vstack(rows):
+            """List of row vectors -> matrix with a leading row axis."""
+            return (jnp.stack(rows, axis=0) if SBD
+                    else jnp.concatenate(rows, axis=0))
+
+        def mrow(mat, i):
+            """Row i of a matrix value as a row vector (vshape)."""
+            return mat[i] if SBD else mat[i:i + 1, :]
+
+        def msq(x):
+            """Squeeze a keepdims matrix slice (1, ...) to a row vector."""
+            return x[0] if SBD else x
+
+        def cell_set(scr, d, e, v):
+            """Store row vector v at matrix-scratch cell [d, e]."""
+            if SBD:
+                scr[d, e] = v
+            else:
+                scr[d, e, :] = v[0]
+
+        def mshape(rows):
+            """Shape of a matrix value with `rows` rows."""
+            return (rows,) + vshape if SBD else (rows, t)
 
         tgt_sph = [tuple(r1(tgt_sph_ref, 4 * s + c) for c in range(4))
                    for s in range(m.n_sph)]
@@ -414,7 +449,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             st, act_prev = carry
 
             def srow(i):
-                return st[i:i + 1, :]
+                return mrow(st, i)
 
             base_quat = tuple(srow(i) for i in range(4))
             base_pos = tuple(srow(4 + i) for i in range(3))
@@ -466,7 +501,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                         v_rows[d + c] = ws[c]
                 else:
                     v_rows[d] = w_rev[m.rev_index[b]]
-            v_mat = jnp.concatenate(v_rows, axis=0)          # (n, T)
+            v_mat = vstack(v_rows)                           # (n, [sb,] T)
 
             # ============ world-origin jacobian columns ============
             # world axis per dof; cols: rotational [a; p x a], linear [0; a]
@@ -513,7 +548,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                         blk[i][3 + j] = mass * cx[i][j]
                         blk[3 + i][j] = -mass * cx[i][j]
                         blk[3 + i][3 + j] = (
-                            jnp.full((1, t), mass, jnp.float32)
+                            jnp.full(vshape, mass, jnp.float32)
                             if i == j else zero1)
                 io[b] = blk
 
@@ -527,7 +562,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                         ic_comp[p][r][c] = ic_comp[p][r][c] + ic_comp[b][r][c]
 
             # ============ H via CRBA identity on static sparsity ============
-            minv_scr[...] = jnp.zeros((n, n, t), jnp.float32)
+            minv_scr[...] = jnp.zeros(minv_scr.shape, jnp.float32)
             # Y_e = IC_{body(e)} @ col_e ; H[d, e] = col_d . Y_e for d anc(e)
             anc_dofs = _ancestor_dofs(m)
             for e in range(n):
@@ -544,9 +579,9 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                 for d in anc_dofs[e]:
                     cd = col_ang[d] + col_lin[d]
                     h_de = sum(cd[r6] * y[r6] for r6 in range(6))
-                    minv_scr[d, e, :] = h_de[0]
+                    cell_set(minv_scr, d, e, h_de)
                     if d != e:
-                        minv_scr[e, d, :] = h_de[0]
+                        cell_set(minv_scr, e, d, h_de)
             # copy H into hinv scratch before regularizing
             hinv_scr[...] = minv_scr[...]
 
@@ -635,12 +670,12 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                 kpe = m.kp[d0] * (tgt_rev[r] - pred) - m.kd[d0] * w_rev[r]
                 kpe_rows[d0] = kpe
                 f_rows[d0] = f_rows[d0] + kpe
-            f_mat = jnp.concatenate(f_rows, axis=0)          # (n, T)
+            f_mat = vstack(f_rows)                           # (n, [sb,] T)
 
             # ============ inverses ============
             for i in range(n):
-                minv_scr[i, i, :] = minv_scr[i, i, :] + (kd_dt[i] + m.eps)
-                hinv_scr[i, i, :] = hinv_scr[i, i, :] + m.eps
+                minv_scr[i, i] = minv_scr[i, i] + (kd_dt[i] + m.eps)
+                hinv_scr[i, i] = hinv_scr[i, i] + m.eps
             _sweep(minv_scr, n)
             _sweep(hinv_scr, n)
 
@@ -660,7 +695,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             for d0, lim, r in m.rev_motors:
                 t1v = kpe_rows[d0] - kd_dt[d0] * a_vec[d0]
                 dtau_rows[d0] = jnp.clip(t1v, -lim, lim) - t1v
-            dtau = jnp.concatenate(dtau_rows, axis=0)
+            dtau = vstack(dtau_rows)
 
             v_star = v_mat + dt * (a_vec + _matvec(hinv_scr, dtau, n))
 
@@ -678,34 +713,51 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                     for i in range(3)))
                 # static tie-break epsilon keeps argmin unique
                 dists.append(xc[up] - m.cand_radius[c] + (c + 1) * 1e-7)
-            d_mat = jnp.concatenate(dists, axis=0)           # (n_cand, T)
+            d_mat = vstack(dists)                            # (n_cand,[sb,]T)
             act_all = (d_mat < 0.0).astype(jnp.float32)
-            x_mat = [jnp.concatenate([x[i] for x in xs], axis=0)
-                     for i in range(3)]                       # 3 x (n_cand,T)
+            x_mat = [vstack([x[i] for x in xs])
+                     for i in range(3)]                # 3 x (n_cand,[sb,]T)
 
             d_work = d_mat
             sel_x = []
             sel_dist = []
             sel_mask = []
             big = 1e9
+            if SBD:
+                # static-unrolled cm @ oh (skip the zero entries): avoids
+                # broadcasting the (n, n_cand) table into rank-4, which
+                # would relayout its sublane/lane dims into untiled ones
+                cms = cmask_static
+            else:
+                cmb = cmask_ref[...][:, :, None]             # (n, n_cand, 1)
             for j in range(K):
-                mn = jnp.min(d_work, axis=0, keepdims=True)  # (1, T)
+                mn = jnp.min(d_work, axis=0, keepdims=True)
                 oh = (d_work <= mn).astype(jnp.float32)      # one-hot
-                sel_dist.append(mn)
+                sel_dist.append(msq(mn))
                 sel_x.append(tuple(
-                    jnp.sum(oh * x_mat[i], axis=0, keepdims=True)
+                    msq(jnp.sum(oh * x_mat[i], axis=0, keepdims=True))
                     for i in range(3)))
-                # ancestor mask of the selected candidate: (n, T)
-                msk = jnp.sum(cmask_ref[...][:, :, None] * oh[None, :, :],
-                              axis=1)
+                # ancestor mask of the selected candidate: (n, [sb,] T)
+                if SBD:
+                    mrows = []
+                    for d in range(n):
+                        acc = None
+                        for c in range(m.n_cand):
+                            if cms[d][c]:
+                                ohc = oh[c]
+                                acc = ohc if acc is None else acc + ohc
+                        mrows.append(acc if acc is not None else zero1)
+                    msk = vstack(mrows)
+                else:
+                    msk = jnp.sum(cmb * oh[None], axis=1)
                 sel_mask.append(msk)
                 d_work = d_work + oh * big
 
-            # stacked axis/anchor matrices (3 x (n, T))
-            ax_mat = [jnp.concatenate([waxis[d][i] for d in range(n)], axis=0)
+            # stacked axis/anchor matrices (3 x (n, [sb,] T))
+            ax_mat = [vstack([waxis[d][i] for d in range(n)])
                       for i in range(3)]
-            an_mat = [jnp.concatenate([anchor[d][i] for d in range(n)],
-                                      axis=0) for i in range(3)]
+            an_mat = [vstack([anchor[d][i] for d in range(n)])
+                      for i in range(3)]
             # static contiguous run of linear dofs (free base: rows 3:6)
             lin_idx = [d for d in range(n) if m.dof_is_linear[d]]
             lin_s = lin_idx[0] if lin_idx else 0
@@ -716,7 +768,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             # reads of hinv/W/v_star columns — never materialized (saves the
             # (R vs 3K) width everywhere downstream)
             for j in range(K):
-                diff = [sel_x[j][i] - an_mat[i] for i in range(3)]  # (n,T)
+                diff = [sel_x[j][i] - an_mat[i] for i in range(3)]
                 jr = [ax_mat[1] * diff[2] - ax_mat[2] * diff[1],
                       ax_mat[2] * diff[0] - ax_mat[0] * diff[2],
                       ax_mat[0] * diff[1] - ax_mat[1] * diff[0]]
@@ -727,9 +779,9 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                             [jr[i][:lin_s], ax_mat[i][lin_s:lin_e],
                              jr[i][lin_e:]], axis=0)
                     jr[i] = jr[i] * sel_mask[j]
-                rows_scr[j, :, :] = jr[up]
-                rows_scr[K + j, :, :] = jr[t1x]
-                rows_scr[2 * K + j, :, :] = jr[t2x]
+                rows_scr[j] = jr[up]
+                rows_scr[K + j] = jr[t1x]
+                rows_scr[2 * K + j] = jr[t2x]
 
             # targets / activity
             tgt_list = []
@@ -744,10 +796,9 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                 viol = sign * (val - q_rev[ridx])
                 act_l_list.append((viol > 0.0).astype(jnp.float32))
                 tgt_list.append(m.limit_erp / dt * jnp.maximum(viol, 0.0))
-            target = jnp.concatenate(tgt_list, axis=0)       # (R, T)
-            act_n = jnp.concatenate(act_n_list, axis=0)      # (K, T)
-            act_l = (jnp.concatenate(act_l_list, axis=0)
-                     if m.n_lim else None)
+            target = vstack(tgt_list)                        # (R, [sb,] T)
+            act_n = vstack(act_n_list)                       # (K, [sb,] T)
+            act_l = vstack(act_l_list) if m.n_lim else None
 
             # ============ W = Hinv J^T ; rowsum(|A|) ; PGS ============
             # Projected Jacobi with the Gershgorin step (sim/contact.py
@@ -763,35 +814,36 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             #    2*3K*n multiplies/iter instead of R*R.
             K3 = 3 * K
             nb8 = (K3 + 7) // 8  # sublane-tile blocks (K3 = 48 -> 6)
-            w_scr[:, :K3, :] = (hinv_scr[:, 0, :][:, None, :]
-                                * rows_scr[:, 0, :][None, :, :])
+            w_scr[:, :K3] = (hinv_scr[:, 0][:, None]
+                             * rows_scr[:, 0][None])
             for kk in range(1, n):
-                w_scr[:, :K3, :] += (hinv_scr[:, kk, :][:, None, :]
-                                     * rows_scr[:, kk, :][None, :, :])
+                w_scr[:, :K3] += (hinv_scr[:, kk][:, None]
+                                  * rows_scr[:, kk][None])
             for li, (dof, ridx, val, sign) in enumerate(m.lim_rows):
-                w_scr[:, K3 + li, :] = sign * hinv_scr[:, dof, :]
+                w_scr[:, K3 + li] = sign * hinv_scr[:, dof]
 
             # upper-triangle contact-block A in (8, 8) tiles -> |A| row sums
             for bi in range(nb8):
                 si = slice(8 * bi, min(8 * bi + 8, K3))
                 for bj in range(bi, nb8):
                     sj = slice(8 * bj, min(8 * bj + 8, K3))
-                    blk = (rows_scr[si, 0, :][:, None, :]
-                           * w_scr[0, sj, :][None, :, :])
+                    blk = (rows_scr[si, 0][:, None]
+                           * w_scr[0, sj][None])
                     for kk in range(1, n):
-                        blk += (rows_scr[si, kk, :][:, None, :]
-                                * w_scr[kk, sj, :][None, :, :])
-                    a_scr[si, sj, :] = blk
+                        blk += (rows_scr[si, kk][:, None]
+                                * w_scr[kk, sj][None])
+                    a_scr[si, sj] = blk
             def pad_to(v, lo):
-                """Place (len, T) block v at offset lo within (K3, T)
-                (zero-length pads dropped — Mosaic rejects 0-sized vectors)."""
+                """Place a (len, ...) block v at row offset lo within
+                (K3, ...) (zero-length pads dropped — Mosaic rejects
+                0-sized vectors)."""
                 parts = []
                 if lo:
-                    parts.append(jnp.zeros((lo, t), jnp.float32))
+                    parts.append(jnp.zeros((lo,) + v.shape[1:], jnp.float32))
                 parts.append(v)
                 hi = K3 - lo - v.shape[0]
                 if hi:
-                    parts.append(jnp.zeros((hi, t), jnp.float32))
+                    parts.append(jnp.zeros((hi,) + v.shape[1:], jnp.float32))
                 return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=0)
 
@@ -834,7 +886,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             else:
                 b_vec = b_c - target
 
-            lam = jnp.zeros((R, t), dtype=jnp.float32)
+            lam = jnp.zeros(mshape(R), dtype=jnp.float32)
             for _ in range(m.iterations):
                 u = jnp.sum(w_scr[...] * lam[None, :, :], axis=1)  # (n, T)
                 alam_c = jnp.sum(rows_scr[...] * u[None, :, :], axis=1)
@@ -859,8 +911,8 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             v_new = jnp.clip(v_new, -100.0, 100.0)
 
             # ============ integrate (dynamics.advance semantics) ============
-            wb_n = tuple(v_new[i:i + 1, :] for i in range(3))
-            lb_n = tuple(v_new[3 + i:4 + i, :] for i in range(3))
+            wb_n = tuple(mrow(v_new, i) for i in range(3))
+            lb_n = tuple(mrow(v_new, 3 + i) for i in range(3))
             dpos = Rv(R_w[0], lb_n)
             new_pos = tuple(base_pos[i] + dt * dpos[i] for i in range(3))
             new_quat = qnormalize(qmul(base_quat, qexp_scaled(wb_n, dt)))
@@ -878,7 +930,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             for s in range(m.n_sph):
                 b = _sph_body(m, s)
                 d = m.dof_offset[b]
-                ws_n = tuple(v_new[d + c:d + c + 1, :] for c in range(3))
+                ws_n = tuple(mrow(v_new, d + c) for c in range(3))
                 qs_n = qnormalize(qmul(q_sph[s], qexp_scaled(ws_n, dt)))
                 for c in range(4):
                     out_rows[m.row_q_sph(s) + c] = qs_n[c]
@@ -888,7 +940,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             for r in range(m.n_rev):
                 b = _rev_body(m, r)
                 d = m.dof_offset[b]
-                wr_n = v_new[d:d + 1, :]
+                wr_n = mrow(v_new, d)
                 qr_n = q_rev[r] + dt * wr_n
                 if r in rev_lims:
                     lo, hi = rev_lims[r]
@@ -896,13 +948,12 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                 out_rows[m.row_q_rev(r)] = qr_n
                 out_rows[m.row_w_rev(r)] = wr_n
 
-            st_new = jnp.concatenate(out_rows, axis=0)
+            st_new = vstack(out_rows)
             # base position history for the phase-wrap re-sync
-            hist_out[pl_ds(3 * step_i, 3), :] = jnp.concatenate(new_pos,
-                                                                axis=0)
+            hist_out[pl_ds(3 * step_i, 3)] = vstack(new_pos)
             return (st_new, act_all)
 
-        init = (st_ref[...], jnp.zeros((m.n_cand, t), jnp.float32))
+        init = (st_ref[...], jnp.zeros(mshape(m.n_cand), jnp.float32))
         st_fin, act_fin = jax.lax.fori_loop(0, m.frame_skip, substep, init)
         st_out[...] = st_fin
         act_out[...] = act_fin
@@ -914,7 +965,7 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
             # reflects pre-step state, so it cannot be reused). This lets
             # env.step skip its XLA-side fk+link_states epilogue entirely.
             def frow(i):
-                return st_fin[i:i + 1, :]
+                return mrow(st_fin, i)
 
             base_quat = tuple(frow(i) for i in range(4))
             base_pos = tuple(frow(4 + i) for i in range(3))
@@ -988,30 +1039,31 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False):
                 lv = tuple(vhat[b][3 + i] + wxc[i] for i in range(3))
                 rows = list(fp) + list(fq) + list(cp) + list(cq) \
                     + list(lv) + list(w_l)
-                links_out[pl_ds(m.LINK_ROWS * l, m.LINK_ROWS), :] = (
-                    jnp.concatenate(rows, axis=0))
+                links_out[pl_ds(m.LINK_ROWS * l, m.LINK_ROWS)] = vstack(rows)
 
     return kernel
 
 
 def _sweep(scr, n):
-    """In-place Gauss-Jordan inverse of scr (n, n, T) (ops/linalg.py)."""
+    """In-place Gauss-Jordan inverse of scr (n, n, [sb,] T)
+    (ops/linalg.py). Rank-agnostic: the sweep updates broadcast over
+    whatever trailing batch dims the scratch carries."""
     for kk in range(n):
         inv_d = 1.0 / scr[kk, kk]
         row_k = scr[kk]
         col_k = scr[:, kk]
-        scr[...] = scr[...] - col_k[:, None, :] * (row_k[None, :, :] * inv_d)
-        scr[kk, :, :] = row_k * inv_d
-        scr[:, kk, :] = col_k * inv_d
-        scr[kk, kk, :] = -inv_d
+        scr[...] = scr[...] - col_k[:, None] * (row_k[None] * inv_d)
+        scr[kk] = row_k * inv_d
+        scr[:, kk] = col_k * inv_d
+        scr[kk, kk] = -inv_d
     scr[...] = -scr[...]
 
 
 def _matvec(mat_ref, vec, n):
-    """(n, n, T) @ (n, T) -> (n, T)."""
-    acc = mat_ref[:, 0, :] * vec[0][None, :]
+    """(n, n, [sb,] T) @ (n, [sb,] T) -> (n, [sb,] T)."""
+    acc = mat_ref[:, 0] * vec[0][None]
     for kk in range(1, n):
-        acc = acc + mat_ref[:, kk, :] * vec[kk][None, :]
+        acc = acc + mat_ref[:, kk] * vec[kk][None]
     return acc
 
 
@@ -1080,8 +1132,17 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
         raise ValueError(
             f"PFPN_MEGASTEP_TILE={tile_env!r}: must be a positive int "
             f"(multiples of {_LANES} lanes lower/perform best on TPU)")
-    tile = tile if b >= tile else b
-    pad = (-b) % tile
+    # sublane-batch factor: sb envs in the sublane dim x tile in lanes
+    # per grid step (sb*tile envs per block). sb=1 is the historical
+    # lane-only layout; sb=8 fills the full (8, 128) VPU tile.
+    sb_env = os.environ.get("PFPN_MEGASTEP_SB", "")
+    sb = int(sb_env) if sb_env else 1
+    if sb < 1:
+        raise ValueError(f"PFPN_MEGASTEP_SB={sb_env!r}: must be >= 1")
+    if sb == 1:
+        tile = tile if b >= tile else b
+    blk = sb * tile
+    pad = (-b) % blk
     if pad:
         ident = pack_state(meta, _identity_state(meta))
         st = jnp.concatenate(
@@ -1091,54 +1152,76 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
         tgt_rev = jnp.concatenate(
             [tgt_rev, jnp.zeros((pad, meta.n_rev))], axis=0)
     bp = st.shape[0]
+    bp2 = bp // sb   # lanes axis length after the sublane split
 
-    st_l = jnp.transpose(st, (1, 0))
-    ts_l = jnp.transpose(tgt_sph, (1, 0))
-    tr_l = jnp.transpose(tgt_rev, (1, 0))
+    def to_l(x):
+        """(bp, rows) -> (rows, bp) at sb=1, (rows, sb, bp2) at sb>1.
+        Env e maps to sublane s = e // bp2, lane-axis index e % bp2."""
+        xt = jnp.transpose(x, (1, 0))
+        return xt if sb == 1 else xt.reshape(x.shape[1], sb, bp2)
+
+    def from_l(x):
+        """Inverse of to_l, then crop the pad: -> (b, rows)."""
+        xr = x if sb == 1 else x.reshape(x.shape[0], bp)
+        return jnp.transpose(xr, (1, 0))[:b]
+
+    st_l = to_l(st)
+    ts_l = to_l(tgt_sph)
+    tr_l = to_l(tgt_rev)
     cmask_j = jnp.asarray(cmask)
 
+    bshape = (sb, tile) if sb > 1 else (tile,)
+    bzero = (0,) * len(bshape[:-1])
     spec = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape + (tile,), lambda i: (0,) * len(shape) + (i,),
+        shape + bshape, lambda i: (0,) * len(shape) + bzero + (i,),
         memory_space=pltpu.VMEM)
     tbl = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
+    def oshape(rows):
+        return ((rows, bp) if sb == 1 else (rows, sb, bp2))
+
     out_shape = [
-        jax.ShapeDtypeStruct((rs, bp), jnp.float32),
-        jax.ShapeDtypeStruct((meta.n_cand, bp), jnp.float32),
-        jax.ShapeDtypeStruct((3 * meta.frame_skip, bp), jnp.float32),
+        jax.ShapeDtypeStruct(oshape(rs), jnp.float32),
+        jax.ShapeDtypeStruct(oshape(meta.n_cand), jnp.float32),
+        jax.ShapeDtypeStruct(oshape(3 * meta.frame_skip), jnp.float32),
     ]
     out_specs = [spec(rs), spec(meta.n_cand), spec(3 * meta.frame_skip)]
     if emit_links:
         lr = meta.LINK_ROWS * meta.n_links
-        out_shape.append(jax.ShapeDtypeStruct((lr, bp), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct(oshape(lr), jnp.float32))
         out_specs.append(spec(lr))
 
+    scr = lambda *shape: pltpu.VMEM(shape + bshape, jnp.float32)  # noqa: E731
+
+    cmask_static = tuple(
+        tuple(bool(x) for x in row) for row in np.asarray(cmask))
     outs = pl.pallas_call(
-        _make_kernel(meta, emit_links=emit_links),
+        _make_kernel(meta, emit_links=emit_links, sb=sb,
+                     cmask_static=cmask_static),
         out_shape=tuple(out_shape),
-        grid=(bp // tile,),
+        grid=(bp2 // tile,),
         in_specs=[spec(rs), spec(4 * meta.n_sph), spec(meta.n_rev),
                   tbl(meta.ndof, meta.n_cand)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((n, n, tile), jnp.float32),
-            pltpu.VMEM((n, n, tile), jnp.float32),
+            scr(n, n),
+            scr(n, n),
             # contact rows only (3K); limit rows are hinv/W column reads
-            pltpu.VMEM((3 * K, n, tile), jnp.float32),
-            pltpu.VMEM((n, R, tile), jnp.float32),
+            scr(3 * K, n),
+            scr(n, R),
             # upper-triangle contact-block Delassus (|A| row sums only)
-            pltpu.VMEM((3 * K, 3 * K, tile), jnp.float32),
+            scr(3 * K, 3 * K),
         ],
         interpret=interpret,
     )(st_l, ts_l, tr_l, cmask_j)
     st_o, act_o, hist_o = outs[:3]
 
-    st_o = jnp.transpose(st_o, (1, 0))[:b]
-    act_o = jnp.transpose(act_o, (1, 0))[:b] > 0.5
-    hist_o = jnp.transpose(hist_o, (1, 0))[:b].reshape(b, meta.frame_skip, 3)
+    st_o = from_l(st_o)
+    act_o = from_l(act_o) > 0.5
+    hist_o = from_l(hist_o).reshape(b, meta.frame_skip, 3)
     if emit_links:
-        links_o = jnp.transpose(outs[3], (1, 0))[:b]
+        links_o = from_l(outs[3])
         return st_o, act_o, hist_o, links_o
     return st_o, act_o, hist_o
 

@@ -168,3 +168,39 @@ def test_train_accepts_stall_timeout(tmp_path):
     state = train(_tiny_cfg(), root=str(tmp_path), eval_every_rounds=0,
                   max_rounds=2, verbose=False, stall_timeout_s=300.0)
     assert int(state.global_step) > 0
+
+
+def test_rounds_per_dispatch_equivalence(tmp_path):
+    """rounds_per_dispatch>1 (scan-of-rounds per host dispatch, the
+    TRAIN_PROFILE.md host-overhead amortization) must be bit-equivalent to
+    the per-round loop: same final counters, same params, and the same
+    per-round train/ metric lines in the JSONL log."""
+    import json
+
+    import numpy as np
+
+    from pfpn_tpu.harness.train import train
+
+    cfg = _tiny_cfg()
+    s1 = train(cfg, root=str(tmp_path / "a"), eval_every_rounds=0,
+               max_rounds=4, verbose=False)
+    s2 = train(cfg, root=str(tmp_path / "b"), eval_every_rounds=0,
+               max_rounds=4, verbose=False, rounds_per_dispatch=2)
+    assert int(s1.total_samples) == int(s2.total_samples)
+    assert int(s1.global_step) == int(s2.global_step)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def _train_lines(root):
+        logd = cfg.log_dir(str(root))
+        path = os.path.join(logd, "metrics.jsonl")
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f]
+        return [r for r in rows if any(k.startswith("train/") for k in r)]
+
+    l1, l2 = _train_lines(tmp_path / "a"), _train_lines(tmp_path / "b")
+    assert len(l1) == len(l2) == 4
+    for r1, r2 in zip(l1, l2):
+        assert r1["step"] == r2["step"]
+        np.testing.assert_allclose(r1["train/loss"], r2["train/loss"],
+                                   atol=1e-5)

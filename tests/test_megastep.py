@@ -174,3 +174,64 @@ def test_megastep_kernel_interpret_matches_primal(monkeypatch):
     np.testing.assert_allclose(np.asarray(d_mat), np.asarray(got_mat),
                                atol=1e-6)
     np.testing.assert_array_equal(np.asarray(d_act), np.asarray(got_act))
+
+
+def test_megastep_kernel_sublane_batch_matches_default(monkeypatch):
+    """PFPN_MEGASTEP_SB>1 (sublane-batched layout, results/MFU.md lever)
+    against the sb=1 kernel on a single substep at tight tolerance.
+
+    One substep, not a full control step: the two layouts reduce the dof
+    axis differently (sublane-axis reduce at sb=1, untiled-axis reduce at
+    sb>1), so XLA's reduction associativity differs by ~1e-7 — over 20
+    contact-rich substeps a knife-edge contact flips and chaos amplifies
+    that to O(0.1) (observed), which no tolerance can meaningfully bound.
+    A layout/logic bug (wrong row, bad block mapping) shows up at full
+    magnitude in substep 1; fp reassociation measured ≤ 8e-5 absolute on
+    one substep (14/1463 elements, velocity rows through the 34x34
+    Gauss-Jordan inverse + 16 PGS iterations), hence the 2e-4 bound —
+    the same scale the kernel-vs-primal test above tolerates.
+
+    B=19 with sb=4, tile=2 exercises the sublane split (blk=8 -> pad to
+    bp=24, bp2=6, grid=3) plus identity-state padding; sb=8 covers a
+    32-env block; the emit_links rows are compared too."""
+    import dataclasses as dc
+
+    from pfpn_tpu.ops import megastep as ms
+
+    env = _env()
+    eng = env.engine
+    meta = ms.build_meta(eng.tree, eng.gains, eng.config.contact,
+                         eng.contact_set, eng.config.dt,
+                         eng.config.frame_skip, eng.config.gravity)
+    meta = dc.replace(meta, frame_skip=1)
+    cmask = eng.contact_set.ancestor_mask
+
+    B = 19
+    keys = jax.random.split(jax.random.PRNGKey(21), B)
+    state, _ = jax.jit(env.reset_batch)(keys)
+    sim = state.sim
+    k1, k2 = jax.random.split(jax.random.PRNGKey(22))
+    sim = sim.replace(
+        base_lin=sim.base_lin + jnp.array([0.1, -0.4, 0.0]),
+        w_sph=sim.w_sph + 0.3 * jax.random.normal(k1, sim.w_sph.shape),
+        w_rev=sim.w_rev + 0.3 * jax.random.normal(k2, sim.w_rev.shape),
+    )
+    st_mat = ms.pack_state(meta, sim)
+    tgt_sph = jnp.zeros((B, 4 * meta.n_sph)).at[:, 3::4].set(1.0)
+    tgt_rev = jnp.zeros((B, meta.n_rev))
+
+    monkeypatch.setenv("PFPN_MEGASTEP_TILE", "4")
+    monkeypatch.delenv("PFPN_MEGASTEP_SB", raising=False)
+    ref = ms.megastep_pallas(meta, cmask, st_mat, tgt_sph, tgt_rev,
+                             interpret=True, emit_links=True)
+
+    for sb in (4, 8):
+        monkeypatch.setenv("PFPN_MEGASTEP_SB", str(sb))
+        monkeypatch.setenv("PFPN_MEGASTEP_TILE", "2")
+        got = ms.megastep_pallas(meta, cmask, st_mat, tgt_sph, tgt_rev,
+                                 interpret=True, emit_links=True)
+        for g, w, name in zip(got, ref, ("state", "act", "hist", "links")):
+            np.testing.assert_allclose(
+                np.asarray(g, dtype=np.float32),
+                np.asarray(w, dtype=np.float32),
+                atol=2e-4, err_msg=f"sb={sb} {name}")
