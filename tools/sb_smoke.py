@@ -33,7 +33,9 @@ def main():
 
     from pfpn_tpu.envs.deepmimic import make
 
+    t0 = time.time()
     env = make("DeepMimicWalk-v0")
+    print(f"env make ok ({time.time() - t0:.0f}s)", flush=True)
     keys = jax.random.split(jax.random.PRNGKey(0), b)
     t0 = time.time()
     state, _ = jax.jit(env.reset_batch)(keys)
@@ -52,12 +54,18 @@ def main():
         (st, _), rs = jax.lax.scan(body, (st, key), None, length=n_steps)
         return st, jnp.sum(rs)
 
+    # SB_SMOKE_VMEM_KIB raises XLA's scoped-vmem budget (default 16 MiB)
+    # through PJRT compile options — the reliable channel to the remote
+    # axon compiler, unlike the XLA_FLAGS env of the client process
+    vmem_kib = os.environ.get("SB_SMOKE_VMEM_KIB", "")
+    copts = ({"xla_tpu_scoped_vmem_limit_kib": int(vmem_kib)}
+             if vmem_kib else None)
     f = jax.jit(roll)
     t0 = time.time()
     lowered = f.lower(state, jax.random.PRNGKey(1))
     print(f"lowered ({time.time() - t0:.0f}s)", flush=True)
     t0 = time.time()
-    compiled = lowered.compile()
+    compiled = lowered.compile(compiler_options=copts)
     print(f"compiled ({time.time() - t0:.0f}s)", flush=True)
 
     t0 = time.time()
