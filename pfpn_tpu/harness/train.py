@@ -55,16 +55,20 @@ def train(cfg: RunConfig, root: str = ".",
     # right here — without the watchdog the retrying supervisor would hang
     # forever instead of getting another exit-43 round
     wd = Watchdog(stall_timeout_s)
+    # startup (build_algo's reference-table device programs, init_state,
+    # restore) contains single device steps that can exceed a
+    # steady-state-tuned timeout on a cold remote-compile cache — give
+    # the whole startup the same one-off window as the first compile
+    wd.grace(max(stall_timeout_s, 1800.0))
 
+    # NOTE: no beats between startup steps — a beat would shrink the
+    # window back to the steady-state timeout mid-startup
     algo = build_algo(cfg)
-    wd.beat()
     key = jax.random.PRNGKey(cfg.seed)
     state = algo.init_state(key)
-    wd.beat()
 
     ckpt = CheckpointManager(cfg.checkpoint_dir(root))
     restored = ckpt.restore_latest(state)
-    wd.beat()
     if restored is not None:
         state = restored
         if verbose:
@@ -119,7 +123,6 @@ def train(cfg: RunConfig, root: str = ".",
     # (running average over all eval episodes, distributed_model.py:247-252)
     last_ckpt_step = int(state.global_step)
     t_start = time.time()
-    wd.beat()
 
     while int(state.total_samples) < cfg.max_samples:
         if max_rounds is not None and round_idx >= max_rounds:
