@@ -408,7 +408,15 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False, sb: int = 1,
         if emit_links:
             links_out = rest[0]
             rest = rest[1:]
-        minv_scr, hinv_scr, rows_scr, w_scr, a_scr = rest
+        if sb > 1:
+            # no a_scr at sb>1: the (8,8) Delassus blocks are consumed as
+            # values by the |A| row sums directly (saves (3K,3K,sb,tile)
+            # of scoped VMEM — the difference between fitting the 16 MiB
+            # budget and not, results/MFU.md round 5)
+            minv_scr, hinv_scr, rows_scr, w_scr = rest
+            a_scr = None
+        else:
+            minv_scr, hinv_scr, rows_scr, w_scr, a_scr = rest
         t = st_ref.shape[-1]
         vshape = (sb, t) if SBD else (1, t)
         zero1 = jnp.zeros(vshape, dtype=jnp.float32)
@@ -822,17 +830,6 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False, sb: int = 1,
             for li, (dof, ridx, val, sign) in enumerate(m.lim_rows):
                 w_scr[:, K3 + li] = sign * hinv_scr[:, dof]
 
-            # upper-triangle contact-block A in (8, 8) tiles -> |A| row sums
-            for bi in range(nb8):
-                si = slice(8 * bi, min(8 * bi + 8, K3))
-                for bj in range(bi, nb8):
-                    sj = slice(8 * bj, min(8 * bj + 8, K3))
-                    blk = (rows_scr[si, 0][:, None]
-                           * w_scr[0, sj][None])
-                    for kk in range(1, n):
-                        blk += (rows_scr[si, kk][:, None]
-                                * w_scr[kk, sj][None])
-                    a_scr[si, sj] = blk
             def pad_to(v, lo):
                 """Place a (len, ...) block v at row offset lo within
                 (K3, ...) (zero-length pads dropped — Mosaic rejects
@@ -847,20 +844,56 @@ def _make_kernel(meta: MegaMeta, emit_links: bool = False, sb: int = 1,
                 return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=0)
 
-            s0 = min(8, K3)
-            rsum_c = pad_to(
-                jnp.sum(jnp.abs(a_scr[0:s0, 0:s0, :]), axis=1), 0)
-            for bi in range(nb8):
-                si = slice(8 * bi, min(8 * bi + 8, K3))
-                for bj in range(bi, nb8):
-                    if bi == 0 and bj == 0:
-                        continue
-                    sj = slice(8 * bj, min(8 * bj + 8, K3))
-                    ablk = jnp.abs(a_scr[si, sj, :])
-                    rsum_c = rsum_c + pad_to(jnp.sum(ablk, axis=1), 8 * bi)
-                    if bi != bj:                          # mirrored half
-                        rsum_c = rsum_c + pad_to(jnp.sum(ablk, axis=0),
-                                                 8 * bj)
+            # upper-triangle contact-block A in (8, 8) tiles -> |A| row
+            # sums. At sb=1 the blocks go through a_scr (the historical,
+            # on-chip-proven path, kept bit-identical); at sb>1 each
+            # block is consumed as a value immediately, so the
+            # (3K,3K,sb,tile) scratch never exists — the difference
+            # between fitting the 16 MiB scoped-VMEM budget and not.
+            if SBD:
+                rsum_c = None
+                for bi in range(nb8):
+                    si = slice(8 * bi, min(8 * bi + 8, K3))
+                    for bj in range(bi, nb8):
+                        sj = slice(8 * bj, min(8 * bj + 8, K3))
+                        blk = (rows_scr[si, 0][:, None]
+                               * w_scr[0, sj][None])
+                        for kk in range(1, n):
+                            blk += (rows_scr[si, kk][:, None]
+                                    * w_scr[kk, sj][None])
+                        ablk = jnp.abs(blk)
+                        term = pad_to(jnp.sum(ablk, axis=1), 8 * bi)
+                        rsum_c = term if rsum_c is None else rsum_c + term
+                        if bi != bj:                      # mirrored half
+                            rsum_c = rsum_c + pad_to(
+                                jnp.sum(ablk, axis=0), 8 * bj)
+            else:
+                for bi in range(nb8):
+                    si = slice(8 * bi, min(8 * bi + 8, K3))
+                    for bj in range(bi, nb8):
+                        sj = slice(8 * bj, min(8 * bj + 8, K3))
+                        blk = (rows_scr[si, 0][:, None]
+                               * w_scr[0, sj][None])
+                        for kk in range(1, n):
+                            blk += (rows_scr[si, kk][:, None]
+                                    * w_scr[kk, sj][None])
+                        a_scr[si, sj] = blk
+
+                s0 = min(8, K3)
+                rsum_c = pad_to(
+                    jnp.sum(jnp.abs(a_scr[0:s0, 0:s0, :]), axis=1), 0)
+                for bi in range(nb8):
+                    si = slice(8 * bi, min(8 * bi + 8, K3))
+                    for bj in range(bi, nb8):
+                        if bi == 0 and bj == 0:
+                            continue
+                        sj = slice(8 * bj, min(8 * bj + 8, K3))
+                        ablk = jnp.abs(a_scr[si, sj, :])
+                        rsum_c = rsum_c + pad_to(jnp.sum(ablk, axis=1),
+                                                 8 * bi)
+                        if bi != bj:                      # mirrored half
+                            rsum_c = rsum_c + pad_to(
+                                jnp.sum(ablk, axis=0), 8 * bj)
             if m.n_lim:
                 # A[i, 3K+li] = sign * W[dof_li, i] (Hinv symmetric)
                 lim_cols = jnp.concatenate(
@@ -1210,9 +1243,11 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
             # contact rows only (3K); limit rows are hinv/W column reads
             scr(3 * K, n),
             scr(n, R),
-            # upper-triangle contact-block Delassus (|A| row sums only)
-            scr(3 * K, 3 * K),
-        ],
+        ] + (
+            # upper-triangle contact-block Delassus (|A| row sums only);
+            # sb>1 consumes the blocks as values instead (VMEM budget)
+            [scr(3 * K, 3 * K)] if sb == 1 else []
+        ),
         interpret=interpret,
     )(st_l, ts_l, tr_l, cmask_j)
     st_o, act_o, hist_o = outs[:3]
