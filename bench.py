@@ -37,8 +37,26 @@ def _is_transient(exc: Exception) -> bool:
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Default the megastep kernel to the sublane-batched layout (8 envs in
+# sublanes x 128 lanes = 1024 envs/block): measured +16% sim throughput
+# at B=8192 (182.2k vs 157.3k env steps/s, results/MFU.md round 5).
+# Explicitly setting PFPN_MEGASTEP_SB (even empty = sb 1) overrides; on
+# a fatal sb>1 compile error main() falls back to the lane-only layout.
+os.environ.setdefault("PFPN_MEGASTEP_SB", "8")
+
 import jax
 import jax.numpy as jnp
+
+
+def _compile_opts():
+    """The sb=8 kernel needs ~17 MiB of scoped VMEM vs the 16 MiB
+    default budget — raise it through PJRT compile options (the channel
+    that reaches the remote axon compiler; an XLA_FLAGS env would abort
+    the local CPU xla, which does not know the TPU-only flag)."""
+    sb = os.environ.get("PFPN_MEGASTEP_SB", "")
+    if sb and sb != "1":
+        return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    return None
 
 
 def measure(batch: int, n_steps: int):
@@ -63,9 +81,10 @@ def measure(batch: int, n_steps: int):
         (st, _), rs = jax.lax.scan(body, (st, key), None, length=n_steps)
         return st, jnp.sum(rs)
 
-    f = jax.jit(roll)
+    f = jax.jit(roll).lower(state, jax.random.PRNGKey(1)).compile(
+        compiler_options=_compile_opts())
     st, r = f(state, jax.random.PRNGKey(1))
-    float(r)  # compile + warm
+    float(r)  # warm
     t0 = time.time()
     st, r = f(st, jax.random.PRNGKey(2))
     float(r)  # force completion
@@ -104,7 +123,8 @@ def measure_policy(batch: int, n_steps: int):
                                         length=n_steps)
         return st, jnp.sum(rs)
 
-    f = jax.jit(roll)
+    f = jax.jit(roll).lower(state, obs, jax.random.PRNGKey(1)).compile(
+        compiler_options=_compile_opts())
     st, r = f(state, obs, jax.random.PRNGKey(1))
     float(r)
     t0 = time.time()
@@ -130,6 +150,15 @@ def main():
             raise  # deterministic config error (e.g. bad PFPN_BENCH_ENV)
         except Exception as e:  # noqa: BLE001
             if not _is_transient(e):
+                if os.environ.get("PFPN_MEGASTEP_SB", "") not in ("", "1"):
+                    # the sublane-batched kernel is an optimization, not
+                    # a requirement — degrade to the lane-only layout
+                    # instead of failing the driver bench
+                    print(f"[bench] sb>1 fatal compile error; falling "
+                          f"back to PFPN_MEGASTEP_SB=1: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                    os.environ["PFPN_MEGASTEP_SB"] = "1"
+                    continue
                 # compile/Mosaic/OOM: deterministic — surface immediately
                 traceback.print_exc()
                 raise
