@@ -1172,6 +1172,13 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
     sb = int(sb_env) if sb_env else 1
     if sb < 1:
         raise ValueError(f"PFPN_MEGASTEP_SB={sb_env!r}: must be >= 1")
+    if sb > 1 and b % (sb * tile) != 0:
+        # padding waste kills the sublane win on non-multiple batches
+        # (measured: the multi-task env's ~1365-env task slices pad to
+        # 2048 at sb=8 and run 18% SLOWER than lane-only) — and this
+        # also keeps training geometries (8-1024 envs) on the proven
+        # layout when the env var is set globally
+        sb = 1
     if sb == 1:
         tile = tile if b >= tile else b
     blk = sb * tile
