@@ -1143,6 +1143,17 @@ def pl_ds(start, size):
 # batched dispatch
 # ---------------------------------------------------------------------------
 
+def _resolve_sb(sb: int, tile: int, b: int) -> int:
+    """Engage the sublane-batched layout only when the batch is a whole
+    number of (sb*tile)-env blocks: padding waste kills the sublane win
+    otherwise (measured: the multi-task env's ~1365-env task slices pad
+    to 2048 at sb=8 and run 18% SLOWER than lane-only), and this keeps
+    training geometries (8-1024 envs) on the proven layout when
+    PFPN_MEGASTEP_SB is set globally."""
+    if sb > 1 and b % (sb * tile) != 0:
+        return 1
+    return sb
+
 def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
                     tgt_sph: jnp.ndarray, tgt_rev: jnp.ndarray,
                     interpret: bool = False, emit_links: bool = False):
@@ -1172,13 +1183,7 @@ def megastep_pallas(meta: MegaMeta, cmask: np.ndarray, st: jnp.ndarray,
     sb = int(sb_env) if sb_env else 1
     if sb < 1:
         raise ValueError(f"PFPN_MEGASTEP_SB={sb_env!r}: must be >= 1")
-    if sb > 1 and b % (sb * tile) != 0:
-        # padding waste kills the sublane win on non-multiple batches
-        # (measured: the multi-task env's ~1365-env task slices pad to
-        # 2048 at sb=8 and run 18% SLOWER than lane-only) — and this
-        # also keeps training geometries (8-1024 envs) on the proven
-        # layout when the env var is set globally
-        sb = 1
+    sb = _resolve_sb(sb, tile, b)
     if sb == 1:
         tile = tile if b >= tile else b
     blk = sb * tile

@@ -191,9 +191,11 @@ def test_megastep_kernel_sublane_batch_matches_default(monkeypatch):
     Gauss-Jordan inverse + 16 PGS iterations), hence the 2e-4 bound —
     the same scale the kernel-vs-primal test above tolerates.
 
-    B=19 with sb=4, tile=2 exercises the sublane split (blk=8 -> pad to
-    bp=24, bp2=6, grid=3) plus identity-state padding; sb=8 covers a
-    32-env block; the emit_links rows are compared too."""
+    B=16 with tile=2 is a whole number of blocks for both sb=4 (blk 8,
+    grid 2) and sb=8 (blk 16, grid 1) — required, because _resolve_sb
+    deliberately falls back to sb=1 on non-block-multiple batches (so a
+    non-multiple B would vacuously compare sb=1 to itself; the gate
+    itself is asserted below). The emit_links rows are compared too."""
     import dataclasses as dc
 
     from pfpn_tpu.ops import megastep as ms
@@ -206,7 +208,15 @@ def test_megastep_kernel_sublane_batch_matches_default(monkeypatch):
     meta = dc.replace(meta, frame_skip=1)
     cmask = eng.contact_set.ancestor_mask
 
-    B = 19
+    # the divisibility gate: non-multiple batches fall back to lane-only
+    assert ms._resolve_sb(4, 2, 16) == 4
+    assert ms._resolve_sb(8, 2, 16) == 8
+    assert ms._resolve_sb(4, 2, 19) == 1
+    assert ms._resolve_sb(8, 128, 8192) == 8
+    assert ms._resolve_sb(8, 128, 1365) == 1   # multi-task slice size
+    assert ms._resolve_sb(1, 128, 77) == 1
+
+    B = 16
     keys = jax.random.split(jax.random.PRNGKey(21), B)
     state, _ = jax.jit(env.reset_batch)(keys)
     sim = state.sim
